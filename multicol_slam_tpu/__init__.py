@@ -1,0 +1,23 @@
+"""MultiCol-SLAM-TPU: a TPU-native multi-fisheye-camera SLAM framework.
+
+A ground-up JAX/XLA/Pallas re-design of the capabilities of MultiCol-SLAM
+(urbste/MultiCol-SLAM): MultiKeyFrame-based multi-camera tracking, local
+mapping, and loop closing over generic Scaramuzza omnidirectional cameras,
+with mdBRIEF binary features and a MultiCol bundle adjuster.
+
+Architecture (TPU-first, not a port):
+  - ``ops/``      pure batched device kernels: camera model, SE3/cayley,
+                  feature extraction (FAST + mdBRIEF), Hamming matching,
+                  RANSAC solvers, triangulation.
+  - ``models/``   the SLAM subsystems composed from ops: extractor,
+                  matcher, LM bundle adjuster, tracker state machine,
+                  local mapping, loop closing, vocabulary/BoW.
+  - ``parallel/`` jax.sharding mesh utilities for sharded bundle
+                  adjustment and batched multi-stream serving.
+  - ``utils/``    config IO (OpenCV-YAML rig calibrations), trajectory IO,
+                  timing.
+  - ``runtime/``  native C++ host runtime pieces (grid binning, inverted
+                  file) exposed through ctypes.
+"""
+
+__version__ = "0.1.0"
