@@ -171,6 +171,30 @@ def make_mirror_masks(cam_u0: float, cam_v0: float, width: int, height: int,
     return masks
 
 
+def make_extraction_masks(cam_u0: float, cam_v0: float, width: int, height: int,
+                          n_levels: int, scale: float) -> list[np.ndarray]:
+    """Mirror masks at EXTRACTION pyramid sizes (scale-1.2 levels).
+
+    The reference resizes the level-0 mirror mask together with the
+    image pyramid inside the extractor (mvMaskPyramid,
+    mdBRIEFextractorOct.cpp:1158-1201); analytically that is the level-0
+    circle (center swapped per CreateMirrorMask quirk, radius
+    Get_v0 + 22) scaled by 1/scale^level.
+    """
+    from .pyramid import level_sizes  # local import to avoid cycle
+
+    cy = float(cam_v0)  # reference swap (cam_model_omni.cpp:187-188)
+    cx = float(cam_u0)
+    r0 = cy + MIRROR_OFFSETS[0]
+    masks = []
+    for lvl, (h, w) in enumerate(level_sizes(height, width, n_levels, scale)):
+        s = 1.0 / (scale ** lvl)
+        ii, jj = np.mgrid[0:h, 0:w].astype(np.float32)
+        d = np.sqrt((ii - cy * s) ** 2 + (jj - cx * s) ** 2)
+        masks.append((d < r0 * s).astype(np.uint8) * 255)
+    return masks
+
+
 def is_in_mirror_mask(mask: jax.Array, uv: jax.Array) -> jax.Array:
     """Vectorized isPointInMirrorMask (cam_model_omni.cpp:163-178).
 

@@ -1,0 +1,170 @@
+"""Dense FAST-9/16 corner detection + spatially-uniform selection (XLA).
+
+Behavioral spec: reference mdBRIEFextractorOct.cpp:863-976
+(ComputeKeyPointsOctTree: cv::FAST threshold 20 per 30x30 cell with
+threshold-5 fallback, inside the mirror mask, 25px border) and :631-861
+(DistributeOctTree: spatially-uniform best-response selection).
+
+TPU-first re-design: instead of per-cell scalar FAST + a pointer-based
+octree, we compute a DENSE corner-score map for the whole image (16
+shifted views - pure VPU), apply 3x3 non-max suppression, reproduce the
+cell-fallback semantics with windowed reductions, and select spatially
+uniform keypoints with a bucketed top-k (best corner per bucket, then
+top-K buckets) - an O(HW) data-parallel equivalent of the octree's
+"subdivide until enough cells, keep best per cell" behavior.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Bresenham circle of radius 3, OpenCV pixel order (clockwise from top).
+# (dy, dx) offsets.
+CIRCLE = np.array([
+    (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
+    (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1),
+], np.int32)
+
+BORDER = 3  # circle radius
+
+
+def _shifted_ring(img: jax.Array) -> jax.Array:
+    """(H, W) -> (16, H, W): the 16 ring neighbours of every pixel.
+    Implemented as static slices of a padded image - no gathers."""
+    h, w = img.shape
+    pad = jnp.pad(img, BORDER, mode="edge")
+    views = [pad[3 + dy: 3 + dy + h, 3 + dx: 3 + dx + w] for dy, dx in CIRCLE]
+    return jnp.stack(views, 0)
+
+
+def _ring_min9(x: jax.Array) -> jax.Array:
+    """Min over all 9-long contiguous arcs of the 16-ring, per pixel.
+    x: (16, H, W) -> (16, H, W) where out[k] = min(x[k..k+8] mod 16).
+    log-step rolls: window 2 -> 4 -> 8 -> 9."""
+    m2 = jnp.minimum(x, jnp.roll(x, -1, 0))
+    m4 = jnp.minimum(m2, jnp.roll(m2, -2, 0))
+    m8 = jnp.minimum(m4, jnp.roll(m4, -4, 0))
+    return jnp.minimum(m8, jnp.roll(x, -8, 0))
+
+
+def fast_score(img: jax.Array, threshold: float) -> jax.Array:
+    """Dense FAST-9/16 score map (H, W) float32; 0 where not a corner.
+
+    Score = max over 9-arcs of min(d) for bright / min(-d) for dark,
+    minus 1 (cv::FAST cornerScore semantics): the largest threshold at
+    which the pixel remains a corner.
+    """
+    ring = _shifted_ring(img)          # (16, H, W)
+    d = ring - img[None]               # signed differences
+    bright = jnp.max(_ring_min9(d), 0)         # best bright-arc strength
+    dark = jnp.max(_ring_min9(-d), 0)          # best dark-arc strength
+    score = jnp.maximum(bright, dark) - 1.0
+    return jnp.where(score >= threshold, score, 0.0)
+
+
+def harris_score(img: jax.Array, block: int = 7, k: float = 0.04) -> jax.Array:
+    """Dense Harris response (ORB HarrisResponses semantics:
+    mdBRIEFextractorOct.cpp HarrisResponses - 7x7 block, k=0.04,
+    Sobel-free central differences scaled like OpenCV's harris in ORB)."""
+    dx = (jnp.pad(img, ((0, 0), (0, 2)), mode="edge")[:, 2:]
+          - jnp.pad(img, ((0, 0), (2, 0)), mode="edge")[:, :-2]) * 0.5
+    dy = (jnp.pad(img, ((2, 0), (0, 0)), mode="edge")[:-2, :]
+          - jnp.pad(img, ((0, 2), (0, 0)), mode="edge")[2:, :]) * -0.5
+    r = block // 2
+
+    def bsum(x):
+        xp = jnp.pad(x, r, mode="constant")
+        acc_h = sum(xp[:, i:i + x.shape[1]] for i in range(block))
+        return sum(acc_h[i:i + x.shape[0], :] for i in range(block))
+
+    a, b, c = bsum(dx * dx), bsum(dx * dy), bsum(dy * dy)
+    scale = (1.0 / (4 * 255.0 * block)) ** 2  # ORB's 1/(4*blockSize*255) per-deriv scale
+    return (a * c - b * b - k * (a + c) ** 2) * (scale * scale)
+
+
+def nonmax_3x3(score: jax.Array) -> jax.Array:
+    """Keep only strict 3x3 local maxima (ties keep the first in raster
+    order via epsilon index bias, mirroring cv::FAST nonmax)."""
+    h, w = score.shape
+    p = jnp.pad(score, 1, mode="constant", constant_values=-jnp.inf)
+    neigh = jnp.stack([p[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+                       for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+                       if not (dy == 0 and dx == 0)], 0)
+    is_max = score >= jnp.max(neigh, 0)
+    # break plateau ties: keep only the first pixel in raster order by
+    # requiring strict > over the 4 raster-earlier neighbours
+    earlier = jnp.stack([p[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+                         for dy, dx in ((-1, -1), (-1, 0), (-1, 1), (0, -1))], 0)
+    is_max &= score > jnp.max(earlier, 0)
+    return jnp.where(is_max, score, 0.0)
+
+
+def _window_any(x: jax.Array, cell: int) -> jax.Array:
+    """Per-cell 'has any nonzero', broadcast back to pixels. x: (H, W)."""
+    h, w = x.shape
+    hp = -(-h // cell) * cell
+    wp = -(-w // cell) * cell
+    xp = jnp.pad(x, ((0, hp - h), (0, wp - w)))
+    cells = xp.reshape(hp // cell, cell, wp // cell, cell)
+    has = jnp.max(cells, axis=(1, 3)) > 0
+    back = jnp.repeat(jnp.repeat(has, cell, 0), cell, 1)
+    return back[:h, :w]
+
+
+def fast_with_fallback(img: jax.Array, th_hi: float, th_lo: float,
+                       cell: int = 30) -> jax.Array:
+    """FAST th_hi per cell, falling back to th_lo in cells with no th_hi
+    corner (mdBRIEFextractorOct.cpp:905-940 semantics), then 3x3 NMS."""
+    s_lo = fast_score(img, th_lo)      # superset
+    s_hi = jnp.where(s_lo >= th_hi, s_lo, 0.0)
+    use_hi = _window_any(s_hi, cell)
+    return nonmax_3x3(jnp.where(use_hi, s_hi, s_lo))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "bucket", "border"))
+def select_uniform_topk(score: jax.Array, mask: jax.Array, k: int,
+                        bucket: int, border: int = 16):
+    """Spatially-uniform top-k corner selection (octree-equivalent).
+
+    1. zero scores outside ``mask`` and within ``border`` px of the edge;
+    2. keep only the best corner in each bucket x bucket tile (the
+       octree's "one keypoint per leaf");
+    3. global top-k over surviving corners by response.
+
+    Returns (yx (k, 2) int32, resp (k,) f32, valid (k,) bool).
+    """
+    h, w = score.shape
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    in_border = ((yy >= border) & (yy < h - border)
+                 & (xx >= border) & (xx < w - border))
+    s = jnp.where(mask & in_border, score, 0.0)
+
+    # best-per-bucket: suppress everything below the bucket max
+    hp = -(-h // bucket) * bucket
+    wp = -(-w // bucket) * bucket
+    sp = jnp.pad(s, ((0, hp - h), (0, wp - w)))
+    tiles = sp.reshape(hp // bucket, bucket, wp // bucket, bucket)
+    tile_max = jnp.max(tiles, axis=(1, 3), keepdims=True)
+    winner = (tiles == tile_max) & (tiles > 0)
+    # break ties inside a bucket: first in raster order
+    flat = winner.transpose(0, 2, 1, 3).reshape(-1, bucket * bucket)
+    first = jnp.argmax(flat, axis=1)
+    only = jnp.zeros_like(flat).at[jnp.arange(flat.shape[0]), first].set(
+        jnp.take_along_axis(flat, first[:, None], 1)[:, 0])
+    winner = only.reshape(hp // bucket, wp // bucket, bucket, bucket).transpose(0, 2, 1, 3)
+    # Prioritize bucket winners but keep non-winners as fill-up when a
+    # level has fewer populated buckets than k (the octree keeps ALL
+    # keypoints when it runs out of cells to split).
+    PRIO = jnp.float32(1e7)
+    s_prio = jnp.where(winner, tiles + PRIO, tiles).reshape(hp, wp)[:h, :w]
+
+    resp, idx = jax.lax.top_k(s_prio.reshape(-1), k)
+    valid = resp > 0
+    resp = jnp.where(resp >= PRIO, resp - PRIO, resp)
+    yx = jnp.stack([idx // w, idx % w], -1).astype(jnp.int32)
+    return yx, resp, valid

@@ -1,0 +1,111 @@
+"""Synthetic multi-fisheye sequence renderer (test + bench harness).
+
+The reference validates end-to-end on the Lafida dataset (README.md:
+238-257), which is not redistributable here. Instead we render synthetic
+fisheye images through the REAL Lafida calibration: a procedurally
+textured cubic room observed by the rig along a smooth trajectory. This
+gives exact ground-truth poses + full multi-view-consistent parallax,
+in the spirit of OpenGV's synthetic experiment helpers
+(ThirdParty/OpenGV/test/, SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import camera as cam_ops
+from ..ops import geometry as geo
+from ..ops.rig import Rig, mt_mc
+
+ROOM_HALF = 4.0     # half-extent of the cubic room (meters)
+LATTICE = 64        # noise lattice resolution
+
+
+@functools.lru_cache()
+def _lattice(seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.uniform(40.0, 220.0, (LATTICE, LATTICE, LATTICE)).astype(np.float32)
+
+
+def _texture3d(pts: jax.Array, lat: jax.Array) -> jax.Array:
+    """Trilinear 3-D value noise at world points (..., 3) -> (...,)."""
+
+    def octave(p, freq):
+        q = (p / (2 * ROOM_HALF) + 0.5) * freq % (LATTICE - 1)
+        q0 = jnp.floor(q).astype(jnp.int32)
+        f = q - q0
+        q0 = jnp.clip(q0, 0, LATTICE - 2)
+
+        def at(dx, dy, dz):
+            return lat[q0[..., 0] + dx, q0[..., 1] + dy, q0[..., 2] + dz]
+
+        c00 = at(0, 0, 0) * (1 - f[..., 0]) + at(1, 0, 0) * f[..., 0]
+        c01 = at(0, 0, 1) * (1 - f[..., 0]) + at(1, 0, 1) * f[..., 0]
+        c10 = at(0, 1, 0) * (1 - f[..., 0]) + at(1, 1, 0) * f[..., 0]
+        c11 = at(0, 1, 1) * (1 - f[..., 0]) + at(1, 1, 1) * f[..., 0]
+        c0 = c00 * (1 - f[..., 1]) + c10 * f[..., 1]
+        c1 = c01 * (1 - f[..., 1]) + c11 * f[..., 1]
+        return c0 * (1 - f[..., 2]) + c1 * f[..., 2]
+
+    # two octaves: coarse structure + fine corner-rich detail
+    return 0.6 * octave(pts, 11.0) + 0.4 * octave(pts, 53.0)
+
+
+def _ray_box_exit(origin: jax.Array, direction: jax.Array) -> jax.Array:
+    """Distance to the cubic-room wall along ``direction`` from an
+    interior ``origin``: min over axes of the positive boundary hit."""
+    d = jnp.where(jnp.abs(direction) < 1e-9, 1e-9, direction)
+    t = (jnp.sign(d) * ROOM_HALF - origin) / d
+    return jnp.min(t, axis=-1)
+
+
+def make_renderer(rig: Rig, dtype=jnp.float32):
+    """Returns render(M_t) -> (n_cams, H, W) float32 images in [0, 255].
+
+    Per-camera pixel rays are precomputed once (camera intrinsics are
+    static); each frame is two batched ops: rotate rays into world +
+    sample the 3-D texture at the wall hit points.
+    """
+    h = int(float(rig.cams.height[0]))
+    w = int(float(rig.cams.width[0]))
+    uu, vv = jnp.meshgrid(jnp.arange(w, dtype=dtype), jnp.arange(h, dtype=dtype))
+    uv = jnp.stack([uu, vv], -1).reshape(-1, 2)  # (H*W, 2)
+    rays_cam = jax.vmap(lambda c: cam_ops.img_to_world(c, uv))(rig.cams)
+    rays_cam = rays_cam.reshape(rig.n_cams, h, w, 3)
+    lat = jnp.asarray(_lattice())
+
+    @jax.jit
+    def render(M_t: jax.Array) -> jax.Array:
+        T = mt_mc(M_t, rig.M_c)                      # (N,4,4) cam->world
+        R = T[:, :3, :3]
+        C = T[:, :3, 3]                               # camera centres
+        rays_w = jnp.einsum("nij,nhwj->nhwi", R, rays_cam)
+        t = _ray_box_exit(C[:, None, None, :], rays_w)
+        hits = C[:, None, None, :] + t[..., None] * rays_w
+        img = _texture3d(hits, lat)
+        return jnp.clip(img, 0.0, 255.0)
+
+    return render
+
+
+def smooth_trajectory(n_frames: int, radius: float = 1.0,
+                      height_amp: float = 0.2) -> np.ndarray:
+    """(n_frames, 4, 4) body-to-world poses: a slow arc with yaw, like a
+    handheld indoor sweep. Ground truth for ATE evaluation."""
+    out = np.zeros((n_frames, 4, 4))
+    for i in range(n_frames):
+        s = i / max(n_frames - 1, 1)
+        ang = 0.9 * np.sin(2 * np.pi * s * 0.5)
+        c, sn = np.cos(ang), np.sin(ang)
+        R = np.array([[c, 0, sn], [0, 1, 0], [-sn, 0, c]])
+        t = np.array([radius * np.sin(2 * np.pi * s * 0.5),
+                      height_amp * np.sin(2 * np.pi * s),
+                      radius * (np.cos(2 * np.pi * s * 0.5) - 1.0)])
+        out[i, :3, :3] = R
+        out[i, :3, 3] = t
+        out[i, 3, 3] = 1.0
+    return out

@@ -1,0 +1,256 @@
+"""Tests for pyramid / FAST / descriptors / full extractor.
+
+Strategy (SURVEY.md §4): golden checks of the pure kernels (FAST
+semantics on constructed corners, box filter vs naive numpy) + invariance
+properties (descriptor rotation behavior) + the full extractor on
+synthetic fisheye renders through the real Lafida calibration.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multicol_slam_tpu.ops import brief, fast, hamming as hm, pyramid
+from multicol_slam_tpu.models import extractor as ext
+from multicol_slam_tpu.utils import config_io, synthetic
+
+CALIB_DIR = "/root/reference/Examples/Lafida"
+
+
+class TestPyramid:
+    def test_level_sizes(self):
+        sizes = pyramid.level_sizes(480, 754, 8, 1.2)
+        assert sizes[0] == (480, 754)
+        assert sizes[1] == (400, 628)  # round(480/1.2), round(754/1.2)
+        assert len(sizes) == 8
+
+    def test_box_filter_matches_naive(self):
+        rng = np.random.default_rng(0)
+        img = rng.uniform(0, 255, (32, 40)).astype(np.float32)
+        out = np.asarray(pyramid.box_filter(jnp.asarray(img), 5))
+        # naive reflect-101 box filter
+        pad = np.pad(img, 2, mode="reflect")
+        expected = np.zeros_like(img)
+        for i in range(32):
+            for j in range(40):
+                expected[i, j] = pad[i:i + 5, j:j + 5].mean()
+        np.testing.assert_allclose(out, expected, rtol=1e-5)
+
+    def test_pyramid_shapes(self):
+        img = jnp.zeros((3, 480, 754), jnp.float32)
+        lvls = pyramid.build_pyramid(img, 8, 1.2)
+        assert len(lvls) == 8
+        for lvl, (h, w) in zip(lvls, pyramid.level_sizes(480, 754, 8, 1.2)):
+            assert lvl.shape == (3, h, w)
+
+
+def make_corner_image(h=64, w=64, cx=32, cy=32):
+    """Bright square on dark background -> strong FAST corners at the
+    4 square corners."""
+    img = np.full((h, w), 30.0, np.float32)
+    img[cy - 8:cy + 8, cx - 8:cx + 8] = 200.0
+    return img
+
+
+class TestFast:
+    def test_detects_square_corners(self):
+        img = make_corner_image()
+        score = np.asarray(fast.fast_score(jnp.asarray(img), 20.0))
+        nms = np.asarray(fast.nonmax_3x3(jnp.asarray(score)))
+        ys, xs = np.nonzero(nms)
+        assert len(ys) >= 4
+        # corners of the square (24,24),(24,39),(39,24),(39,39); NMS keeps
+        # the raster-first pixel of equal-score plateaus -> allow +-3
+        got = set(zip(ys.tolist(), xs.tolist()))
+        for cy, cx in [(24, 24), (24, 39), (39, 24), (39, 39)]:
+            assert any(abs(y - cy) <= 3 and abs(x - cx) <= 3 for y, x in got), \
+                f"missing corner near {(cy, cx)}"
+
+    def test_flat_image_no_corners(self):
+        img = jnp.full((64, 64), 100.0)
+        assert float(jnp.max(fast.fast_score(img, 10.0))) == 0.0
+
+    def test_threshold_monotonic(self):
+        img = make_corner_image()
+        s_lo = np.asarray(fast.fast_score(jnp.asarray(img), 5.0))
+        s_hi = np.asarray(fast.fast_score(jnp.asarray(img), 60.0))
+        assert (s_hi > 0).sum() <= (s_lo > 0).sum()
+
+    def test_score_is_max_stable_threshold(self):
+        """score s => corner survives threshold s but not s+1."""
+        img = make_corner_image()
+        s = np.asarray(fast.fast_score(jnp.asarray(img), 5.0))
+        y, x = np.unravel_index(np.argmax(s), s.shape)
+        smax = s[y, x]
+        s_at = np.asarray(fast.fast_score(jnp.asarray(img), smax))
+        s_above = np.asarray(fast.fast_score(jnp.asarray(img), smax + 1))
+        assert s_at[y, x] > 0 and s_above[y, x] == 0
+
+    def test_select_uniform_topk(self):
+        rng = np.random.default_rng(1)
+        score = jnp.asarray(rng.uniform(0, 100, (128, 128)).astype(np.float32))
+        mask = jnp.ones((128, 128), bool)
+        yx, resp, valid = fast.select_uniform_topk(score, mask, k=32,
+                                                   bucket=16, border=8)
+        assert yx.shape == (32, 2) and bool(valid.all())
+        # all inside border
+        assert int(yx.min()) >= 8 and int(yx.max()) <= 119
+        # spatial uniformity: winners spread over many 16px buckets
+        buckets = set(map(tuple, (np.asarray(yx) // 16).tolist()))
+        assert len(buckets) >= 24
+
+    def test_select_respects_mask(self):
+        rng = np.random.default_rng(2)
+        score = jnp.asarray(rng.uniform(1, 100, (64, 64)).astype(np.float32))
+        mask = jnp.zeros((64, 64), bool).at[:, :32].set(True)
+        yx, _, valid = fast.select_uniform_topk(score, mask, k=16, bucket=8,
+                                                border=4)
+        xs = np.asarray(yx)[np.asarray(valid), 1]
+        assert (xs < 32).all()
+
+
+class TestBrief:
+    def test_pattern_deterministic_in_disc(self):
+        p1, p2 = brief.make_pattern(512), brief.make_pattern(512)
+        np.testing.assert_array_equal(p1, p2)
+        r2 = (p1 ** 2).sum(1)
+        assert r2.max() <= brief.HALF_PATCH ** 2
+        assert p1.shape == (1024, 2)
+
+    def test_ic_angle_gradient(self):
+        """Horizontal intensity ramp -> centroid along +x -> angle ~ 0;
+        vertical ramp -> angle ~ pi/2."""
+        h = w = 64
+        ramp_x = jnp.asarray(np.tile(np.arange(w, dtype=np.float32), (h, 1)))
+        ramp_y = ramp_x.T
+        yx = jnp.asarray([[32, 32]], jnp.int32)
+        a_x = float(brief.ic_angle(ramp_x, yx)[0])
+        a_y = float(brief.ic_angle(ramp_y, yx)[0])
+        assert abs(a_x) < 0.05
+        assert abs(a_y - np.pi / 2) < 0.05
+
+    def test_orb_descriptor_shape_and_determinism(self):
+        rng = np.random.default_rng(3)
+        img = jnp.asarray(rng.uniform(0, 255, (128, 128)).astype(np.float32))
+        yx = jnp.asarray([[40, 40], [64, 80], [90, 50]], jnp.int32)
+        ang = jnp.zeros(3)
+        pat = jnp.asarray(brief.make_pattern(256))
+        d1 = brief.compute_orb(img, yx, ang, pat)
+        d2 = brief.compute_orb(img, yx, ang, pat)
+        assert d1.shape == (3, 8) and d1.dtype == jnp.uint32
+        np.testing.assert_array_equal(d1, d2)
+
+    def test_orb_rotation_covariance(self):
+        """Rotating the image around a keypoint while rotating the
+        pattern by the same angle keeps the descriptor mostly stable
+        (the whole point of oriented BRIEF)."""
+        rng = np.random.default_rng(4)
+        base = rng.uniform(0, 255, (200, 200)).astype(np.float32)
+        # smooth it so bilinear rotation doesn't shred the signal
+        base = np.asarray(pyramid.box_filter(jnp.asarray(base), 5))
+        img = jnp.asarray(base)
+        c = 100
+        yx = jnp.asarray([[c, c]], jnp.int32)
+        pat = jnp.asarray(brief.make_pattern(256))
+
+        theta = np.deg2rad(30.0)
+        # rotate image by -theta around centre with bilinear sampling
+        yy, xx = np.mgrid[0:200, 0:200].astype(np.float32)
+        ca, sa = np.cos(theta), np.sin(theta)
+        xs = ca * (xx - c) - sa * (yy - c) + c
+        ys = sa * (xx - c) + ca * (yy - c) + c
+        x0, y0 = np.floor(xs).astype(int), np.floor(ys).astype(int)
+        fx, fy = xs - x0, ys - y0
+        x0c, y0c = np.clip(x0, 0, 198), np.clip(y0, 0, 198)
+        rot_img = (base[y0c, x0c] * (1 - fx) * (1 - fy)
+                   + base[y0c, x0c + 1] * fx * (1 - fy)
+                   + base[y0c + 1, x0c] * (1 - fx) * fy
+                   + base[y0c + 1, x0c + 1] * fx * fy)
+
+        # dest->src map uses R(+theta), so the CONTENT is rotated by
+        # -theta; the compensating pattern angle is therefore -theta.
+        d0 = brief.compute_orb(img, yx, jnp.zeros(1), pat)
+        d1 = brief.compute_orb(jnp.asarray(rot_img), yx,
+                               jnp.full((1,), -theta, jnp.float32), pat)
+        dist = int(hm.hamming_matrix_exact(d0, d1)[0, 0])
+        assert dist < 0.2 * 256, f"rotated descriptor distance {dist}"
+
+    def test_mdbrief_mask_flat_region_stable(self):
+        """In a completely flat region every test is degenerate but
+        STABLE (equal values -> bit 0 under any rotation)."""
+        rig, _ = config_io.load_mcs(CALIB_DIR, dtype=np.float64)
+        cam0 = jax.tree.map(lambda x: x[0], rig.cams)
+        img = jnp.full((480, 754), 100.0)
+        yx = jnp.asarray([[240, 377]], jnp.int32)
+        undist = jnp.zeros((1, 2))
+        pat = jnp.asarray(brief.make_pattern(256))
+        desc, mask = brief.compute_mdbrief(img, yx, jnp.zeros(1), undist,
+                                           cam0, pat)
+        assert int(desc.sum()) == 0
+        np.testing.assert_array_equal(np.asarray(mask),
+                                      np.full((1, 8), 0xFFFFFFFF, np.uint32))
+
+
+@pytest.fixture(scope="module")
+def lafida_setup():
+    from multicol_slam_tpu.ops.camera import make_extraction_masks
+    rig, _ = config_io.load_mcs(CALIB_DIR, dtype=np.float32)
+    masks = []
+    # per-level mirror masks at the 1.2-scale extraction pyramid sizes
+    h, w = 480, 754
+    for c in range(3):
+        cam = jax.tree.map(lambda x: x[c], rig.cams)
+        masks.append(make_extraction_masks(
+            float(cam.u0), float(cam.v0), w, h, 8, 1.2))
+    masks_by_level = [np.stack([masks[c][l] for c in range(3)]) for l in range(8)]
+    return rig, masks_by_level
+
+
+class TestFullExtractor:
+    def test_extract_synthetic_rig(self, lafida_setup):
+        rig, masks = lafida_setup
+        render = synthetic.make_renderer(rig)
+        imgs = render(jnp.eye(4))
+        assert imgs.shape == (3, 480, 754)
+
+        cfg = ext.ExtractorConfig(n_features=200, n_levels=4)
+        extract = ext.make_extractor(cfg, rig.cams, masks, (480, 754))
+        feats = extract(imgs)
+        assert feats.xy.shape == (3, 200, 2)
+        assert feats.desc.shape == (3, 200, 8)
+        n_valid = int(feats.valid.sum())
+        assert n_valid > 3 * 120, f"only {n_valid} valid keypoints"
+        # rays are unit and forward-ish
+        norms = np.linalg.norm(np.asarray(feats.ray), axis=-1)
+        np.testing.assert_allclose(norms[np.asarray(feats.valid)], 1.0, atol=1e-5)
+
+    def test_features_per_level(self):
+        per = ext.features_per_level(400, 8, 1.2)
+        assert sum(per) == 400
+        assert per[0] > per[1] > per[-2]
+
+    def test_repeatable_and_jitted(self, lafida_setup):
+        rig, masks = lafida_setup
+        render = synthetic.make_renderer(rig)
+        imgs = render(jnp.eye(4))
+        cfg = ext.ExtractorConfig(n_features=100, n_levels=2)
+        extract = ext.make_extractor(cfg, rig.cams, masks, (480, 754))
+        f1, f2 = extract(imgs), extract(imgs)
+        np.testing.assert_array_equal(f1.desc, f2.desc)
+        np.testing.assert_array_equal(f1.xy, f2.xy)
+
+    def test_dbrief_path(self, lafida_setup):
+        rig, masks = lafida_setup
+        render = synthetic.make_renderer(rig)
+        imgs = render(jnp.eye(4))
+        cfg = ext.ExtractorConfig(n_features=100, n_levels=2,
+                                  use_dbrief=True, learn_masks=True)
+        extract = ext.make_extractor(cfg, rig.cams, masks, (480, 754))
+        feats = extract(imgs)
+        assert feats.desc.shape == (3, 100, 8)
+        # masks are meaningful: not all-zero, not all-ones everywhere
+        m = np.asarray(feats.desc_mask[np.asarray(feats.valid)])
+        bits = np.unpackbits(m.view(np.uint8), axis=-1)
+        frac = bits.mean()
+        assert 0.3 < frac <= 1.0
