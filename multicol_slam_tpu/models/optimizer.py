@@ -1,0 +1,309 @@
+"""MultiCol bundle adjustment: Levenberg-Marquardt on TPU.
+
+Replaces the g2o hypergraph back-end of the reference (cOptimizer.cpp:
+57-874 + the ~1000-line Matlab-generated symbolic Jacobian mcsJacs1 in
+g2o_MultiCol_vertices_edges.cpp:120-1131) with a JAX-native design:
+
+  - residual  r = m - pi_cam((Mt[kf] Mc[cam])^-1 X[pt])   per observation
+    (EdgeProjectXYZ2MCS::computeError, g2o_MultiCol_vertices_edges.cpp:26-53);
+  - Jacobians by forward-mode autodiff of the closed-form projection
+    (replaces mcsJacs1; matches it numerically because the projection
+    math is identical);
+  - Huber IRLS weights (RobustKernelHuber semantics);
+  - damped normal equations with SPARSE SCHUR elimination of the points:
+    per-point 3x3 blocks + per-pose 6x6 blocks assembled with
+    segment-sums; the reduced camera system is dense (local windows keep
+    it small, cOptimizer.cpp:461-874 LocalBundleAdjustment);
+  - additive cayley updates (VertexMt_cayley oplus is additive,
+    g2o_MultiCol_vertices_edges.h:83-145);
+  - LM lambda = tau * max(diag H) with accept/reject halving/doubling
+    and gain-threshold termination (SparseOptimizerTerminateAction gain
+    1e-6, cOptimizer.cpp:88-92).
+
+Reference tunables carried over: Huber delta = 1.345*stdFrame(=2) for
+pose optimization (cOptimizer.cpp:332), outlier gate chi2 > delta^2
+after round 1, then re-optimize (cOptimizer.cpp:414-438); Huber
+sqrt(5.991) for global BA (cOptimizer.cpp:57-257).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.camera import CameraModel, world_to_img
+from ..ops.geometry import cayley2hom, inv_se3
+from ..ops.rig import Rig
+
+HUBER_POSE = 1.345 * 2.0         # cOptimizer.cpp:54 stdFrame = 2.0
+HUBER_LOCAL = 1.345 * 2.0        # stdRecon = 2.0 (cOptimizer.cpp:54)
+HUBER_GLOBAL = 5.991 ** 0.5      # GlobalBundleAdjustment sqrt(5.991)
+LM_TAU = 1e-5                    # g2o initial lambda heuristic
+GAIN_EPS = 1e-6                  # termination gain threshold
+
+
+class BAObservations(NamedTuple):
+    """Padded observation table. All arrays lead with (K,)."""
+
+    uv: jax.Array          # (K, 2) measured pixel (level-0 coords)
+    kf: jax.Array          # (K,) int32 body-pose index
+    cam: jax.Array         # (K,) int32 rig camera index
+    pt: jax.Array          # (K,) int32 point index
+    inv_sigma2: jax.Array  # (K,) information scale (1/scale^(2*octave))
+    valid: jax.Array       # (K,) bool
+
+
+def _project_residual(mt_min: jax.Array, mc_min: jax.Array, X: jax.Array,
+                      cam: CameraModel, uv: jax.Array) -> jax.Array:
+    """Residual of ONE observation given minimal pose params.
+
+    mt_min: (6,) body pose cayley+t; mc_min: (6,) rig extrinsics;
+    X: (3,) world point; uv: (2,) measurement.
+    """
+    M = cayley2hom(mt_min) @ cayley2hom(mc_min)
+    T = inv_se3(M)
+    Xc = T[:3, :3] @ X + T[:3, 3]
+    return uv - world_to_img(cam, Xc)
+
+
+def _huber_w(chi2: jax.Array, delta: float) -> jax.Array:
+    """IRLS weight rho'(chi2): 1 inside, delta/e outside."""
+    e = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+    return jnp.where(e <= delta, 1.0, delta / e)
+
+
+# ---------------------------------------------------------------------------
+# Pose-only optimization (cOptimizer.cpp:259-458)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("iters1", "iters2"))
+def pose_optimization(rig: Rig, mt_min0: jax.Array, obs: BAObservations,
+                      X_world: jax.Array, *, huber: float = HUBER_POSE,
+                      iters1: int = 10, iters2: int = 10):
+    """Optimize ONLY the body pose M_t against fixed map points.
+
+    X_world: (P, 3) fixed points, indexed by obs.pt. Two LM rounds with a
+    chi2 > delta^2 outlier gate between them, mirroring
+    cOptimizer.cpp:412-440. Returns (mt_min, inlier_mask, n_inliers).
+    """
+    mc_min = rig.M_c_min
+    delta2 = huber * huber
+
+    def residuals(mt_min):
+        def one(o_uv, o_cam, o_pt):
+            cam = jax.tree.map(lambda a: a[o_cam], rig.cams)
+            return _project_residual(mt_min, mc_min[o_cam], X_world[o_pt],
+                                     cam, o_uv)
+        return jax.vmap(one)(obs.uv, obs.cam, obs.pt)  # (K, 2)
+
+    def chi2_of(mt_min, w_valid):
+        r = residuals(mt_min)
+        chi2 = jnp.sum(r * r, -1) * obs.inv_sigma2
+        return chi2, jnp.sum(jnp.where(w_valid, jnp.where(
+            jnp.sqrt(chi2) <= huber, chi2,
+            2 * huber * jnp.sqrt(chi2) - delta2), 0.0))
+
+    def lm_round(mt_min, w_valid, iters):
+        def hess(mt):
+            r = residuals(mt)                                     # (K,2)
+            J = jax.jacfwd(residuals)(mt)                         # (K,2,6)
+            chi2 = jnp.sum(r * r, -1) * obs.inv_sigma2
+            w = _huber_w(chi2, huber) * obs.inv_sigma2
+            w = jnp.where(w_valid, w, 0.0)
+            H = jnp.einsum("kri,k,krj->ij", J, w, J)
+            g = jnp.einsum("kri,k,kr->i", J, w, r)
+            return H, g
+
+        _, cost0 = chi2_of(mt_min, w_valid)
+        H0, _ = hess(mt_min)
+        lam0 = LM_TAU * jnp.max(jnp.diag(H0))
+
+        def body(_, state):
+            mt, lam, cost = state
+            H, g = hess(mt)
+            Hd = H + lam * jnp.eye(6, dtype=H.dtype)
+            # NOTE: J is d(r)/d(mt) of r = m - pi, so the Gauss-Newton
+            # step solves H d = -g ... with r convention the update is
+            # mt_new = mt - d where H d = g. Keep signs consistent:
+            d = jnp.linalg.solve(Hd, g)
+            mt_new = mt - d
+            _, cost_new = chi2_of(mt_new, w_valid)
+            accept = cost_new < cost
+            mt = jnp.where(accept, mt_new, mt)
+            cost = jnp.where(accept, cost_new, cost)
+            lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+            return mt, lam, cost
+
+        mt_min, _, _ = jax.lax.fori_loop(0, iters, body,
+                                         (mt_min, lam0, cost0))
+        return mt_min
+
+    w_valid = obs.valid
+    mt1 = lm_round(mt_min0, w_valid, iters1)
+    chi2, _ = chi2_of(mt1, w_valid)
+    inlier = w_valid & (chi2 <= delta2)
+    mt2 = lm_round(mt1, inlier, iters2)
+    chi2b, _ = chi2_of(mt2, w_valid)
+    inlier_final = w_valid & (chi2b <= delta2)
+    return mt2, inlier_final, jnp.sum(inlier_final)
+
+
+# ---------------------------------------------------------------------------
+# Full MultiCol bundle adjustment with sparse Schur on points
+# ---------------------------------------------------------------------------
+
+class BAProblem(NamedTuple):
+    """Static-shape BA problem. Host builds index tables; device solves.
+
+    pt_obs: (P, M) int32 indices into the obs arrays listing each
+    point's observations, padded with K (a guaranteed-invalid slot);
+    M = max observations per point.
+    """
+
+    obs: BAObservations       # K+1 rows; row K is a zero/invalid pad slot
+    pt_obs: jax.Array         # (P, M) int32
+    fixed_kf: jax.Array       # (N,) bool — poses held constant
+    fixed_pt: jax.Array       # (P,) bool
+
+
+def _gather_cam(cams: CameraModel, idx: jax.Array) -> CameraModel:
+    return jax.tree.map(lambda a: a[idx], cams)
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "free_mc"))
+def bundle_adjustment(rig: Rig, mt_min0: jax.Array, X0: jax.Array,
+                      problem: BAProblem, *, huber: float = HUBER_GLOBAL,
+                      iters: int = 10, free_mc: bool = False):
+    """Joint LM over body poses (N, 6) and points (P, 3) with Schur
+    elimination of the points (cOptimizer GlobalBundleAdjustment /
+    LocalBundleAdjustment semantics; fixed_kf plays the role of the
+    fixed-KF set in the local variant).
+
+    Returns (mt_min (N,6), X (P,3), per-obs chi2 (K+1,)).
+    free_mc is reserved for self-calibration (extrinsics columns).
+    """
+    obs, pt_obs = problem.obs, problem.pt_obs
+    mc_min = rig.M_c_min
+    N = mt_min0.shape[0]
+    P = X0.shape[0]
+    K = obs.uv.shape[0]  # includes pad row
+
+    def one_residual(mt_all, X_all, i):
+        o_kf, o_cam, o_pt = obs.kf[i], obs.cam[i], obs.pt[i]
+        cam = _gather_cam(rig.cams, o_cam)
+        return _project_residual(mt_all[o_kf], mc_min[o_cam], X_all[o_pt],
+                                 cam, obs.uv[i])
+
+    def all_residuals(mt_all, X_all):
+        return jax.vmap(lambda i: one_residual(mt_all, X_all, i))(
+            jnp.arange(K))
+
+    def cost_of(mt_all, X_all):
+        r = all_residuals(mt_all, X_all)
+        chi2 = jnp.sum(r * r, -1) * obs.inv_sigma2
+        delta2 = huber * huber
+        rho = jnp.where(jnp.sqrt(chi2) <= huber, chi2,
+                        2 * huber * jnp.sqrt(chi2) - delta2)
+        return jnp.sum(jnp.where(obs.valid, rho, 0.0)), chi2
+
+    def build_system(mt_all, X_all):
+        """Per-obs Jacobians + weights -> blocks for Schur."""
+        r = all_residuals(mt_all, X_all)                      # (K,2)
+        chi2 = jnp.sum(r * r, -1) * obs.inv_sigma2
+        w = _huber_w(chi2, huber) * obs.inv_sigma2
+        w = jnp.where(obs.valid, w, 0.0)
+
+        def jac_one(i):
+            o_kf, o_cam, o_pt = obs.kf[i], obs.cam[i], obs.pt[i]
+            cam = _gather_cam(rig.cams, o_cam)
+            f_p = lambda mt: _project_residual(mt, mc_min[o_cam],
+                                               X_all[o_pt], cam, obs.uv[i])
+            f_x = lambda X: _project_residual(mt_all[o_kf], mc_min[o_cam],
+                                              X, cam, obs.uv[i])
+            return jax.jacfwd(f_p)(mt_all[o_kf]), jax.jacfwd(f_x)(X_all[o_pt])
+
+        Jp, Jx = jax.vmap(jac_one)(jnp.arange(K))             # (K,2,6),(K,2,3)
+        Jp = jnp.where(problem.fixed_kf[obs.kf][:, None, None], 0.0, Jp)
+        Jx = jnp.where(problem.fixed_pt[obs.pt][:, None, None], 0.0, Jx)
+
+        wJp = Jp * w[:, None, None]
+        wJx = Jx * w[:, None, None]
+        # pose blocks (N,6,6), gradients
+        Hpp = jax.ops.segment_sum(jnp.einsum("kri,krj->kij", wJp, Jp),
+                                  obs.kf, N)
+        gp = jax.ops.segment_sum(jnp.einsum("kri,kr->ki", wJp, r), obs.kf, N)
+        # point blocks (P,3,3)
+        Hxx = jax.ops.segment_sum(jnp.einsum("kri,krj->kij", wJx, Jx),
+                                  obs.pt, P)
+        gx = jax.ops.segment_sum(jnp.einsum("kri,kr->ki", wJx, r), obs.pt, P)
+        # cross blocks per obs (K,6,3)
+        E = jnp.einsum("kri,krj->kij", wJp, Jx)
+        return Hpp, Hxx, E, gp, gx
+
+    def schur_step(mt_all, X_all, lam):
+        from ..ops.geometry import inv3x3
+
+        Hpp, Hxx, E, gp, gx = build_system(mt_all, X_all)
+        # LM damping: lambda * I on both blocks (g2o-style)
+        Hxx_d = Hxx + lam * jnp.eye(3)[None]
+
+        # C^-1 per point (3x3 closed form); fixed points get zero inverse
+        Ci = inv3x3(Hxx_d + jnp.eye(3)[None] * 1e-12)
+        Ci = jnp.where(problem.fixed_pt[:, None, None], 0.0, Ci)
+
+        # gather per-point obs: E rows + their kf ids
+        Epad = E[pt_obs]                                     # (P,M,6,3)
+        kf_pad = obs.kf[pt_obs]                              # (P,M)
+        ok_pad = obs.valid[pt_obs]                           # (P,M)
+        Epad = jnp.where(ok_pad[..., None, None], Epad, 0.0)
+        T = jnp.einsum("pmij,pjk->pmik", Epad, Ci)           # (P,M,6,3)
+
+        # Schur S = blockdiag(Hpp + lam I) - sum_p T E^T over kf pairs
+        contrib = jnp.einsum("pmik,pnjk->pmnij", T, Epad)    # (P,M,M,6,6)
+        S = jnp.zeros((N, N, 6, 6))
+        S = S.at[kf_pad[:, :, None], kf_pad[:, None, :]].add(contrib)
+        Sd = -S
+        Sd = Sd.at[jnp.arange(N), jnp.arange(N)].add(
+            Hpp + lam * jnp.eye(6)[None])
+        # reduced gradient g_red = gp - scatter_kf(T gx)
+        Tg = jnp.einsum("pmik,pk->pmi", T, gx)               # (P,M,6)
+        g_red = gp - jnp.zeros((N, 6)).at[kf_pad.reshape(-1)].add(
+            Tg.reshape(-1, 6))
+
+        # dense solve of the (6N, 6N) reduced system
+        Smat = Sd.transpose(0, 2, 1, 3).reshape(6 * N, 6 * N)
+        gvec = g_red.reshape(6 * N)
+        # fixed poses: identity rows/cols, zero gradient
+        fixed6 = jnp.repeat(problem.fixed_kf, 6)
+        Smat = jnp.where(fixed6[:, None] | fixed6[None, :],
+                         jnp.eye(6 * N, dtype=Smat.dtype), Smat)
+        gvec = jnp.where(fixed6, 0.0, gvec)
+        dp = jnp.linalg.solve(Smat, gvec).reshape(N, 6)
+
+        # back-substitute points: dx = Ci (gx - sum_m E_m^T dp[kf_m])
+        Etdp = jnp.einsum("pmij,pmi->pmj", Epad, dp[kf_pad])  # (P,M,3)
+        dx = jnp.einsum("pij,pj->pi", Ci, gx - jnp.sum(Etdp, 1))
+        # r = m - pi  =>  step is MINUS the solve (same sign convention
+        # as pose_optimization)
+        return mt_all - dp, X_all - dx
+
+    cost0, _ = cost_of(mt_min0, X0)
+
+    def body(_, state):
+        mt, X, lam, cost = state
+        mt_new, X_new = schur_step(mt, X, lam)
+        cost_new, _ = cost_of(mt_new, X_new)
+        accept = cost_new < cost
+        mt = jax.tree.map(lambda a, b: jnp.where(accept, b, a), mt, mt_new)
+        X = jax.tree.map(lambda a, b: jnp.where(accept, b, a), X, X_new)
+        cost = jnp.where(accept, cost_new, cost)
+        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+        return mt, X, lam, cost
+
+    mt, X, _, _ = jax.lax.fori_loop(0, iters, body,
+                                    (mt_min0, X0, jnp.float32(1e-4), cost0))
+    _, chi2 = cost_of(mt, X)
+    return mt, X, chi2
