@@ -114,8 +114,10 @@ def make_extractor(cfg: ExtractorConfig, cams: CameraModel,
     sizes = pyramid.level_sizes(h, w, cfg.n_levels, cfg.scale_factor)
     scales = pyramid.scale_factors(cfg.n_levels, cfg.scale_factor)
     budgets = features_per_level(cfg.n_features, cfg.n_levels, cfg.scale_factor)
-    pattern = jnp.asarray(brief.make_pattern(cfg.n_pairs))
-    masks = [jnp.asarray(m > 0) for m in mirror_masks]
+    # keep static data as numpy: it becomes a jit constant at trace time
+    # (eager jnp.asarray would cost one host->device round trip each)
+    pattern = brief.make_pattern(cfg.n_pairs)
+    masks = [np.asarray(m) > 0 for m in mirror_masks]
     assert len(masks) >= cfg.n_levels, "need a mirror mask per pyramid level"
 
     def extract_one_cam(images_lvls, masks_lvls, cam: CameraModel):

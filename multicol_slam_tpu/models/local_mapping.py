@@ -1,0 +1,387 @@
+"""Local mapping back-end (cLocalMapping.{h,cpp}).
+
+Reference loop per inserted keyframe (cLocalMapping.cpp:69-129):
+ProcessNewMultiKeyFrame (:145-185) -> MapPointCulling (:187-221) ->
+CreateNewMapPoints (:223-383) -> SearchInNeighbors / Fuse (:385-454) ->
+LocalBundleAdjustment (cOptimizer.cpp:461-874) -> KeyFrameCulling
+(:517-593).
+
+TPU-first: triangulation candidate search + the two-view checks are
+dense device batches per covisible-keyframe pair; the local BA is one
+Schur-LM call on a host-assembled static-shape problem; culling
+bookkeeping is host numpy. Runs synchronously when invoked (the
+reference's thread handoff becomes a direct call; the System can also
+defer it to a worker thread).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.geometry import (cayley2hom, essential_from_poses, inv_se3,
+                            triangulate_midpoint)
+from ..ops.rig import Rig, mt_mc
+from . import matcher
+from . import optimizer as opt
+from .map import MapStore
+from .tracking import bucket, frustum_check
+
+# Reference gates (cLocalMapping.cpp:39-43, 244-379)
+MIN_BASELINE_DEPTH_RATIO = 0.01   # :253
+TRIANG_PARALLAX_DEG = 3.0         # :318 area
+TRIANG_REPROJ_TH = 4.0            # two-view reprojection error (px)
+TRIANG_MAX_DIST = 25.0            # :360 area
+CULL_FOUND_RATIO = 0.25           # MapPointCulling :199
+KF_CULL_REDUNDANT = 0.9           # KeyFrameCulling :585
+
+
+@dataclasses.dataclass
+class LocalMapper:
+    rig: Rig
+    map: MapStore
+    params: matcher.MatchParams
+    scale_factor: float = 1.2
+    n_levels: int = 8
+    ba_iters: int = 5
+
+    def __post_init__(self):
+        self.recent_pts: list[tuple[int, int]] = []   # (pt, created_at_kf)
+
+    # ------------------------------------------------------------------
+
+    def process_keyframe(self, kf: int):
+        """One full local-mapping pass for a new keyframe."""
+        self._update_point_stats_for_kf(kf)
+        self._cull_map_points(kf)
+        self._create_new_map_points(kf)
+        self._fuse_in_neighbors(kf)
+        self._local_bundle_adjustment(kf)
+        self._cull_keyframes(kf)
+
+    # ------------------------------------------------------------------
+
+    def _kf_cam_center(self, kf: int, cam: int) -> np.ndarray:
+        M_t = np.asarray(cayley2hom(jnp.asarray(self.map.kf_pose[kf])))
+        return (M_t @ np.asarray(self.rig.M_c[cam], np.float64))[:3, 3]
+
+    def _update_point_stats_for_kf(self, kf: int):
+        """ProcessNewMultiKeyFrame: refresh normals/depths/descriptors of
+        the keyframe's points (cLocalMapping.cpp:145-185)."""
+        pts = self.map.kf_pt[kf]
+        pts = np.unique(pts[pts >= 0])
+        self.map.update_point_stats(pts, self._kf_cam_center,
+                                    self.scale_factor, self.n_levels)
+
+    def _cull_map_points(self, kf: int):
+        """MapPointCulling (:187-221): drop points with found-ratio < 0.25
+        or too few observations shortly after creation."""
+        m = self.map
+        keep = []
+        for pt, born_kf in self.recent_pts:
+            if not m.pt_valid[pt]:
+                continue
+            found_ratio = m.pt_found[pt] / max(m.pt_visible[pt], 1)
+            age = kf - born_kf
+            n_obs_kfs = len({o[0] for o in m.pt_obs.get(pt, [])})
+            if found_ratio < CULL_FOUND_RATIO:
+                m.remove_point(pt)
+            elif age >= 2 and n_obs_kfs <= 2:
+                m.remove_point(pt)
+            elif age >= 3:
+                continue  # survived probation
+            else:
+                keep.append((pt, born_kf))
+        self.recent_pts = keep
+
+    # ------------------------------------------------------------------
+
+    def _create_new_map_points(self, kf: int):
+        """CreateNewMapPoints (:223-383): triangulate unmatched features
+        of the new KF against its top covisible KFs (same-camera pairs,
+        epipolar-gated search, midpoint triangulation + gates)."""
+        m = self.map
+        neighbors = m.covisible_keyframes(kf, best_n=5)
+        if not neighbors:
+            return
+        f1 = m.kf_features[kf]
+        mt1 = m.kf_pose[kf]
+        M1 = np.asarray(cayley2hom(jnp.asarray(mt1)))
+        depth1 = self._median_depth_of_kf(kf)
+        C = m.kf_pt.shape[1]
+
+        for nkf in neighbors:
+            f2 = m.kf_features[nkf]
+            if f2 is None:
+                continue
+            mt2 = m.kf_pose[nkf]
+            M2 = np.asarray(cayley2hom(jnp.asarray(mt2)))
+            baseline = np.linalg.norm(M1[:3, 3] - M2[:3, 3])
+            if depth1 > 0 and baseline / depth1 < MIN_BASELINE_DEPTH_RATIO:
+                continue  # :244-254
+
+            # per-camera essential (world-to-cam poses of the SAME camera)
+            Es = []
+            T1s, T2s = [], []
+            for c in range(C):
+                T1 = np.linalg.inv(M1 @ np.asarray(self.rig.M_c[c], np.float64))
+                T2 = np.linalg.inv(M2 @ np.asarray(self.rig.M_c[c], np.float64))
+                T1s.append(T1)
+                T2s.append(T2)
+                Es.append(np.asarray(essential_from_poses(
+                    jnp.asarray(T1), jnp.asarray(T2))))
+            free1 = jnp.asarray(m.kf_pt[kf] < 0)
+            free2 = jnp.asarray(m.kf_pt[nkf] < 0)
+            match = matcher.search_for_triangulation(
+                f1, free1, f2, free2, jnp.asarray(np.stack(Es), jnp.float32),
+                self.params)
+            match = np.asarray(match)          # (C, K) kf slots -> nkf slots
+
+            for c in range(C):
+                sel = np.nonzero(match[c] >= 0)[0]
+                if len(sel) == 0:
+                    continue
+                j = match[c, sel]
+                # triangulate in camera-1 frame: rays + relative pose
+                r1 = np.asarray(f1.ray[c])[sel]
+                r2 = np.asarray(f2.ray[c])[j]
+                T1, T2 = T1s[c], T2s[c]
+                Trel = T1 @ np.linalg.inv(T2)      # cam2 -> cam1
+                R12, t12 = Trel[:3, :3], Trel[:3, 3]
+                X1 = np.asarray(triangulate_midpoint(
+                    jnp.asarray(t12), jnp.asarray(R12),
+                    jnp.asarray(r1), jnp.asarray(r2)))
+                # gates (z>0 both, parallax, reprojection, distance)
+                z1 = (X1 * r1).sum(1)
+                X2 = (X1 - t12) @ R12
+                z2 = (X2 * r2).sum(1)
+                n1 = X1 / np.maximum(np.linalg.norm(X1, axis=1, keepdims=True), 1e-12)
+                n2v = X1 - t12
+                n2 = n2v / np.maximum(np.linalg.norm(n2v, axis=1, keepdims=True), 1e-12)
+                cosp = (n1 * n2).sum(1)
+                cos_th = np.cos(np.deg2rad(TRIANG_PARALLAX_DEG))
+                from ..ops.camera import world_to_img
+                cam_c = jax.tree.map(lambda x: x[c], self.rig.cams)
+                uv1 = np.asarray(world_to_img(cam_c, jnp.asarray(X1)))
+                uv2 = np.asarray(world_to_img(cam_c, jnp.asarray(X2)))
+                e1 = np.linalg.norm(uv1 - np.asarray(f1.xy[c])[sel], axis=1)
+                e2 = np.linalg.norm(uv2 - np.asarray(f2.xy[c])[j], axis=1)
+                dist = np.linalg.norm(X1, axis=1)
+                good = ((z1 > 0) & (z2 > 0) & (cosp < cos_th)
+                        & (e1 < TRIANG_REPROJ_TH) & (e2 < TRIANG_REPROJ_TH)
+                        & (dist < TRIANG_MAX_DIST) & np.isfinite(X1).all(1))
+                if not good.any():
+                    continue
+                # to world: X_w = (M1 Mc) X_cam1
+                Tcw = M1 @ np.asarray(self.rig.M_c[c], np.float64)
+                Xw = (X1[good] @ Tcw[:3, :3].T) + Tcw[:3, 3]
+                ids = m.alloc_points(len(Xw))
+                m.pt_pos[ids] = Xw.astype(np.float32)
+                m.pt_first_kf[ids] = kf
+                for i, p in enumerate(ids):
+                    m.add_observation(int(p), kf, c, int(sel[good][i]))
+                    m.add_observation(int(p), nkf, c, int(j[good][i]))
+                    self.recent_pts.append((int(p), kf))
+                m.update_point_stats(ids, self._kf_cam_center,
+                                     self.scale_factor, self.n_levels)
+
+    def _median_depth_of_kf(self, kf: int) -> float:
+        """cMultiKeyFrame::ComputeSceneMedianDepth (body frame)."""
+        m = self.map
+        pts = m.kf_pt[kf]
+        pts = np.unique(pts[pts >= 0])
+        if len(pts) == 0:
+            return 0.0
+        M = np.asarray(cayley2hom(jnp.asarray(m.kf_pose[kf])))
+        X = m.pt_pos[pts]
+        return float(np.median(np.linalg.norm(X - M[:3, 3], axis=1)))
+
+    # ------------------------------------------------------------------
+
+    def _fuse_in_neighbors(self, kf: int):
+        """SearchInNeighbors (:385-454): project this KF's points into
+        1st/2nd degree neighbours and fuse duplicates, then the reverse."""
+        m = self.map
+        targets = m.covisible_keyframes(kf, best_n=10)
+        second = []
+        for t in targets[:5]:
+            second.extend(m.covisible_keyframes(t, best_n=5))
+        all_targets = [t for t in dict.fromkeys(targets + second) if t != kf]
+
+        kf_pts = m.kf_pt[kf]
+        kf_pts = np.unique(kf_pts[kf_pts >= 0])
+        for t in all_targets:
+            self._fuse_points_into_kf(kf_pts, t)
+        # reverse direction: fuse neighbours' points into kf
+        neigh_pts = set()
+        for t in all_targets:
+            arr = m.kf_pt[t]
+            neigh_pts.update(int(p) for p in arr[arr >= 0])
+        neigh_pts = np.asarray(sorted(neigh_pts), np.int32)
+        self._fuse_points_into_kf(neigh_pts, kf)
+        self._update_point_stats_for_kf(kf)
+
+    def _fuse_points_into_kf(self, pts: np.ndarray, kf: int):
+        m = self.map
+        pts = pts[m.pt_valid[pts]] if len(pts) else pts
+        if len(pts) == 0:
+            return
+        f = m.kf_features[kf]
+        if f is None:
+            return
+        cap = bucket(len(pts), 256)
+        P = len(pts)
+        pad = lambda a, fill=0: np.concatenate(
+            [a, np.full((cap - P,) + a.shape[1:], fill, a.dtype)], 0)
+        uv, ok, lvl, _ = frustum_check(
+            self.rig, jnp.asarray(m.kf_pose[kf]),
+            jnp.asarray(pad(m.pt_pos[pts])),
+            jnp.asarray(pad(m.pt_normal[pts])),
+            jnp.asarray(pad(m.pt_min_dist[pts])),
+            jnp.asarray(pad(m.pt_max_dist[pts], 1.0)),
+            n_levels=self.n_levels, scale_factor=self.scale_factor)
+        ok = np.array(ok)
+        ok[:, P:] = False
+        match = matcher.fuse_candidates(
+            f, jnp.asarray(m.kf_pt[kf] >= 0),
+            jnp.asarray(pad(m.pt_desc[pts])),
+            jnp.asarray(pad(m.pt_desc_mask[pts])),
+            uv, jnp.asarray(ok), lvl, self.params)
+        match = np.asarray(match)
+        C = match.shape[0]
+        for c in range(C):
+            for i in np.nonzero(match[c, :P] >= 0)[0]:
+                p = int(pts[i])
+                slot = int(match[c, i])
+                existing = int(m.kf_pt[kf, c, slot])
+                if existing >= 0 and existing != p:
+                    # merge: keep the landmark with more observations
+                    if len(m.pt_obs[existing]) >= len(m.pt_obs[p]):
+                        m.replace_point(p, existing)
+                    else:
+                        m.replace_point(existing, p)
+                elif existing < 0 and m.pt_valid[p]:
+                    dup = [o for o in m.pt_obs[p] if o[0] == kf and o[1] == c]
+                    if not dup:
+                        m.add_observation(p, kf, c, slot)
+
+    # ------------------------------------------------------------------
+
+    def _local_bundle_adjustment(self, kf: int):
+        """LocalBundleAdjustment (cOptimizer.cpp:461-874): local KFs =
+        covisible set + kf; fixed KFs = other observers of local points;
+        points marginalized; chi2-based observation pruning after."""
+        m = self.map
+        local = [kf] + m.covisible_keyframes(kf)
+        local_set = set(local)
+        pts = set()
+        for lkf in local:
+            arr = m.kf_pt[lkf]
+            pts.update(int(p) for p in arr[arr >= 0] if m.pt_valid[p])
+        if not pts:
+            return
+        pts = np.asarray(sorted(pts), np.int32)
+        fixed = set()
+        for p in pts:
+            for okf, _, _ in m.pt_obs.get(int(p), []):
+                if okf not in local_set:
+                    fixed.add(okf)
+        kfs = local + sorted(fixed)
+        kf_index = {k: i for i, k in enumerate(kfs)}
+        pt_index = {int(p): i for i, p in enumerate(pts)}
+        # always fix KF0 (gauge), plus the out-of-window observers
+        fixed_mask = np.zeros(len(kfs), bool)
+        for i, k in enumerate(kfs):
+            if k in fixed or k == 0:
+                fixed_mask[i] = True
+        if not (~fixed_mask).any():
+            return
+
+        obs_list = []
+        for p in pts:
+            for okf, cam, slot in m.pt_obs.get(int(p), []):
+                if okf not in kf_index:
+                    continue
+                f = m.kf_features[okf]
+                if f is None:
+                    continue
+                xy = np.asarray(f.xy[cam, slot])
+                lvl = int(f.level[cam, slot])
+                obs_list.append((xy, kf_index[okf], cam, pt_index[int(p)],
+                                 self.scale_factor ** (-2.0 * lvl),
+                                 okf, slot))
+        if len(obs_list) < 10:
+            return
+        K = len(obs_list)
+        cap = bucket(K, 512) + 1
+        uv = np.zeros((cap, 2), np.float32)
+        kfi = np.zeros(cap, np.int32)
+        cami = np.zeros(cap, np.int32)
+        pti = np.zeros(cap, np.int32)
+        isig = np.ones(cap, np.float32)
+        valid = np.zeros(cap, bool)
+        for i, (xy, ki, c, pi, s2, _, _) in enumerate(obs_list):
+            uv[i], kfi[i], cami[i], pti[i], isig[i], valid[i] = \
+                xy, ki, c, pi, s2, True
+        obs = opt.BAObservations(
+            uv=jnp.asarray(uv), kf=jnp.asarray(kfi), cam=jnp.asarray(cami),
+            pt=jnp.asarray(pti), inv_sigma2=jnp.asarray(isig),
+            valid=jnp.asarray(valid))
+        # per-point obs table
+        max_obs = max(np.bincount(pti[:K], minlength=len(pts)).max(), 1)
+        Mo = bucket(int(max_obs), 4)
+        pt_obs_tab = np.full((len(pts), Mo), cap - 1, np.int32)
+        fill = np.zeros(len(pts), np.int32)
+        for i in range(K):
+            p = pti[i]
+            if fill[p] < Mo:
+                pt_obs_tab[p, fill[p]] = i
+                fill[p] += 1
+        problem = opt.BAProblem(
+            obs=obs, pt_obs=jnp.asarray(pt_obs_tab),
+            fixed_kf=jnp.asarray(fixed_mask),
+            fixed_pt=jnp.zeros(len(pts), bool))
+        mt0 = np.stack([m.kf_pose[k] for k in kfs])
+        X0 = m.pt_pos[pts].astype(np.float64)
+        mt, X, chi2 = opt.bundle_adjustment(
+            self.rig, jnp.asarray(mt0), jnp.asarray(X0), problem,
+            huber=opt.HUBER_LOCAL, iters=self.ba_iters)
+        mt = np.asarray(mt)
+        X = np.asarray(X)
+        chi2 = np.asarray(chi2)
+        # write back
+        for i, k in enumerate(kfs):
+            if not fixed_mask[i]:
+                m.kf_pose[k] = mt[i]
+        m.pt_pos[pts] = X.astype(np.float32)
+        # prune high-chi2 observations (cOptimizer.cpp:766-816)
+        th = opt.HUBER_LOCAL ** 2
+        for i, (xy, ki, c, pi, s2, okf, slot) in enumerate(obs_list):
+            if chi2[i] > th * 4:
+                m.erase_observation(int(pts[pi]), okf, c, slot)
+
+    # ------------------------------------------------------------------
+
+    def _cull_keyframes(self, kf: int):
+        """KeyFrameCulling (:517-593): a covisible KF is redundant if 90%
+        of its points are seen by >= 3 other KFs (reference: >= 4 incl.
+        itself) at finer-or-equal scale (scale check omitted: host
+        bookkeeping keeps observation levels out of the hot path)."""
+        m = self.map
+        for cand in m.covisible_keyframes(kf):
+            if cand == 0 or not m.kf_valid[cand]:
+                continue
+            arr = m.kf_pt[cand]
+            pts = arr[arr >= 0]
+            if len(pts) == 0:
+                continue
+            redundant = 0
+            for p in np.unique(pts):
+                n_kfs = len({o[0] for o in m.pt_obs.get(int(p), [])})
+                if n_kfs >= 4:
+                    redundant += 1
+            if redundant > KF_CULL_REDUNDANT * len(np.unique(pts)):
+                m.remove_keyframe(cand)

@@ -1,0 +1,165 @@
+"""System orchestration (cSystem.{h,cpp}): wire tracking + local mapping
+(+ loop closing once present), load calibration, expose the per-frame
+API and trajectory export.
+
+Reference: cSystem spawns mapping/loop-closing/viewer threads
+(cSystem.cpp:96-110) because CPU cores were the scaling resource. Here
+device batching does the heavy lifting, so the default mode runs the
+mapper synchronously on keyframe insertion (deterministic, testable);
+``async_mapping=True`` moves it to a worker thread with the same
+producer/consumer contract as the reference (mlNewMultiKeyFrames deque,
+cLocalMapping.cpp:131-151).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Optional
+
+import numpy as np
+
+from ..ops.camera import make_extraction_masks
+from ..utils import config_io
+from ..utils.trajectory import save_tum
+from . import matcher
+from .extractor import ExtractorConfig, make_extractor
+from .local_mapping import LocalMapper
+from .map import MapStore
+from .tracking import Tracker, TrackerConfig, TrackState
+
+
+class MultiColSLAM:
+    """The cSystem equivalent: construct from a calibration directory +
+    settings, feed synchronized image sets, read back poses."""
+
+    def __init__(self, calib_dir: str, settings_path: Optional[str] = None,
+                 settings: Optional[config_io.SlamSettings] = None,
+                 async_mapping: bool = False,
+                 capacity_pts: int = 30000, capacity_kfs: int = 256):
+        self.settings = settings or (
+            config_io.load_settings(settings_path) if settings_path
+            else config_io.SlamSettings())
+        s = self.settings
+        self.rig, self.mirror_masks = config_io.load_mcs(calib_dir)
+        C = self.rig.n_cams
+        w = int(float(self.rig.cams.width[0]))
+        h = int(float(self.rig.cams.height[0]))
+
+        # extraction masks at pyramid sizes
+        masks = []
+        for c in range(C):
+            masks.append(make_extraction_masks(
+                float(self.rig.cams.u0[c]), float(self.rig.cams.v0[c]),
+                w, h, s.n_levels, s.scale_factor))
+        masks_lvl = [np.stack([m[l] for m in masks]) for l in range(s.n_levels)]
+
+        ecfg = ExtractorConfig(
+            n_features=s.n_features, scale_factor=s.scale_factor,
+            n_levels=s.n_levels, fast_th=s.fast_th,
+            desc_bytes=s.desc_size, use_dbrief=s.use_mdbrief,
+            learn_masks=s.learn_masks)
+        self.extract = make_extractor(ecfg, self.rig.cams, masks_lvl, (h, w))
+        # init extractor: 2x features, FAST threshold 5 (cTracking.cpp:206-235)
+        ecfg_init = ecfg._replace(n_features=2 * s.n_features, fast_th=5)
+        self.extract_init = make_extractor(ecfg_init, self.rig.cams,
+                                           masks_lvl, (h, w))
+
+        self.map = MapStore(capacity_pts=capacity_pts,
+                            capacity_kfs=capacity_kfs, n_cams=C,
+                            k_per_cam=2 * s.n_features,
+                            desc_words=s.desc_size // 4)
+
+        tcfg = TrackerConfig(
+            n_features=s.n_features, desc_bytes=s.desc_size,
+            masked=s.use_mdbrief and s.learn_masks,
+            scale_factor=s.scale_factor, n_levels=s.n_levels, fps=s.fps,
+            use_motion_model=s.use_motion_model)
+        self.tracker = Tracker(self.rig, self._extract_padded,
+                               self._extract_init_padded, self.map, tcfg)
+        params = matcher.MatchParams(
+            desc_bytes=s.desc_size,
+            masked=s.use_mdbrief and s.learn_masks,
+            scale_factor=s.scale_factor)
+        self.mapper = LocalMapper(self.rig, self.map, params,
+                                  scale_factor=s.scale_factor,
+                                  n_levels=s.n_levels)
+        self.loop_closer = None   # wired by loop_closing module when present
+
+        self.async_mapping = async_mapping
+        self._kf_queue: "queue.Queue[int]" = queue.Queue()
+        self._mapper_thread: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+        if async_mapping:
+            self._mapper_thread = threading.Thread(
+                target=self._mapper_loop, daemon=True)
+            self._mapper_thread.start()
+            self.tracker.on_new_keyframe = self._kf_queue.put
+        else:
+            self.tracker.on_new_keyframe = self._process_kf
+
+    # ------------------------------------------------------------------
+
+    def _pad_features(self, feats, k_target):
+        """Pad a Features batch to the map's slot capacity so init
+        (2x features) and normal frames share one slot space."""
+        import jax.numpy as jnp
+        k = feats.xy.shape[1]
+        if k == k_target:
+            return feats
+        pad = k_target - k
+
+        def padf(a, fill=0):
+            return jnp.concatenate(
+                [a, jnp.full((a.shape[0], pad) + a.shape[2:], fill, a.dtype)], 1)
+
+        return feats._replace(
+            xy=padf(feats.xy), level=padf(feats.level), angle=padf(feats.angle),
+            response=padf(feats.response), ray=padf(feats.ray),
+            desc=padf(feats.desc), desc_mask=padf(feats.desc_mask),
+            valid=padf(feats.valid, False))
+
+    def _extract_padded(self, images):
+        return self._pad_features(self.extract(images),
+                                  self.map.kf_pt.shape[2])
+
+    def _extract_init_padded(self, images):
+        return self._pad_features(self.extract_init(images),
+                                  self.map.kf_pt.shape[2])
+
+    # ------------------------------------------------------------------
+
+    def _process_kf(self, kf: int):
+        self.mapper.process_keyframe(kf)
+        if self.loop_closer is not None:
+            self.loop_closer.insert_keyframe(kf)
+
+    def _mapper_loop(self):
+        while not self._stop.is_set():
+            try:
+                kf = self._kf_queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            self._process_kf(kf)
+
+    # ------------------------------------------------------------------
+
+    def track(self, images, timestamp: float) -> Optional[np.ndarray]:
+        """cSystem::TrackMultiColSLAM equivalent."""
+        return self.tracker.track(images, timestamp)
+
+    @property
+    def state(self) -> TrackState:
+        return self.tracker.state
+
+    def reset(self):
+        self.tracker.reset()
+
+    def shutdown(self):
+        self._stop.set()
+        if self._mapper_thread is not None:
+            self._mapper_thread.join(timeout=5)
+
+    def save_trajectory(self, path: str):
+        """cSystem::SaveMKFTrajectoryLAFIDA (TUM format)."""
+        save_tum(path, self.tracker.timestamps, self.tracker.all_poses)

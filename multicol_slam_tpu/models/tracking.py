@@ -1,0 +1,595 @@
+"""Tracking front-end: per-frame state machine (cTracking.{h,cpp}).
+
+Reference behavior (cTracking.cpp:237-346): state machine NO_IMAGES_YET
+-> NOT_INITIALIZED -> INITIALIZING -> WORKING / LOST; motion-model
+tracking (pose predict M_last * V, :800), previous-frame window tracking
+fallback (:724-788), local-map tracking (:834-888), relocalization,
+keyframe decision (:890-938 incl. the MultiCol baseline/depth > 0.2
+condition :921), motion-model update V = M_last^-1 M_cur (:327-338).
+
+TPU-first split: all per-frame math (extraction, projection, matching,
+pose LM) runs as a handful of jitted batched calls with STATIC shapes
+(fixed per-frame capacity C x K); the state machine, map bookkeeping and
+keyframe policy stay host-side. Variable-size device inputs (local map
+snapshots) are padded to power-of-two buckets to bound recompilation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.camera import world_to_img
+from ..ops.geometry import cayley2hom, hom2cayley, inv_se3
+from ..ops.rig import Rig, mt_mc
+from . import initializer, matcher
+from . import optimizer as opt
+from .extractor import Features
+from .map import MapStore
+
+
+class TrackState(enum.Enum):
+    NO_IMAGES_YET = 0
+    NOT_INITIALIZED = 1
+    INITIALIZING = 2
+    WORKING = 3
+    LOST = 4
+
+
+def bucket(n: int, minimum: int = 64) -> int:
+    """Round up to a power of two (bounds jit recompilations)."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+@dataclasses.dataclass
+class TrackerConfig:
+    n_features: int = 400
+    desc_bytes: int = 32
+    masked: bool = False
+    scale_factor: float = 1.2
+    n_levels: int = 8
+    fps: float = 25.0
+    use_motion_model: bool = True
+    motion_th: float = 15.0        # window scale for motion-model search
+    local_map_th: float = 3.0      # SearchReferencePointsInFrustum th
+    min_inliers_track: int = 10    # TrackWithMotionModel accept
+    min_inliers_local: int = 15    # TrackLocalMap accept (:874-887)
+    kf_tracked_ratio: float = 0.9  # NeedNewKeyFrame ref-ratio condition
+    kf_min_points: int = 50
+    baseline_depth_ratio: float = 0.2  # curBaseline2MKF gate (:921)
+
+    @property
+    def min_frames(self) -> int:
+        return int(self.fps / 3.0)   # cTracking.cpp:93
+
+    @property
+    def max_frames(self) -> int:
+        return int(2 * self.fps / 3.0)
+
+
+# ---------------------------------------------------------------------------
+# jitted helpers (static shapes)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=())
+def project_slots(rig: Rig, mt_min: jax.Array, X: jax.Array):
+    """Project per-slot world points into their own camera.
+
+    X: (C, K, 3). Returns uv (C, K, 2), ok=(z>0) (C, K)."""
+    T = inv_se3(mt_mc(cayley2hom(mt_min.astype(jnp.float32)), rig.M_c))
+    Xc = jnp.einsum("cij,ckj->cki", T[:, :3, :3], X) + T[:, None, :3, 3]
+    uv = jax.vmap(world_to_img)(rig.cams, Xc)
+    return uv, Xc[..., 2] > 0
+
+
+@functools.partial(jax.jit, static_argnames=("n_levels", "scale_factor"))
+def frustum_check(rig: Rig, mt_min: jax.Array, X: jax.Array,
+                  normal: jax.Array, min_dist: jax.Array, max_dist: jax.Array,
+                  n_levels: int = 8, scale_factor: float = 1.2):
+    """cMultiFrame::isInFrustum per (camera, point) (cMultiFrame.cpp:218-270):
+    project into every camera, gate z>0 + image bounds + distance within
+    [min, max] + viewing cos > 0.5; predict the octave from distance
+    (cMapPoint::PredictScale rule). X: (P, 3). Returns (uv (C,P,2),
+    ok (C,P), level (C,P), view_cos (C,P))."""
+    M = mt_mc(cayley2hom(mt_min.astype(jnp.float32)), rig.M_c)
+    T = inv_se3(M)
+    Xc = jnp.einsum("cij,pj->cpi", T[:, :3, :3], X) + T[:, None, :3, 3]
+    uv = jax.vmap(world_to_img)(rig.cams, Xc)
+    centers = M[:, :3, 3]                                  # (C, 3)
+    PO = X[None, :, :] - centers[:, None, :]               # (C, P, 3)
+    dist = jnp.linalg.norm(PO, axis=-1)
+    view_cos = jnp.einsum("cpi,pi->cp", PO, normal) / jnp.maximum(dist, 1e-9)
+    w = rig.cams.width.astype(jnp.float32)
+    h = rig.cams.height.astype(jnp.float32)
+    in_img = ((uv[..., 0] > 20) & (uv[..., 0] < w[:, None] - 20)
+              & (uv[..., 1] > 20) & (uv[..., 1] < h[:, None] - 20))
+    ok = ((Xc[..., 2] > 0) & in_img
+          & (dist >= min_dist[None, :]) & (dist <= max_dist[None, :])
+          & (view_cos > 0.5))
+    ratio = jnp.maximum(max_dist[None, :] / jnp.maximum(dist, 1e-9), 1e-9)
+    level = jnp.ceil(jnp.log(ratio) / jnp.log(scale_factor)).astype(jnp.int32)
+    level = jnp.clip(level, 0, n_levels - 1)
+    return uv, ok, level, view_cos
+
+
+class Tracker:
+    """Host-side tracking orchestration. One instance per SLAM session."""
+
+    def __init__(self, rig: Rig, extract_fn, extract_init_fn,
+                 map_store: MapStore, cfg: TrackerConfig):
+        self.rig = rig
+        self.extract = extract_fn
+        self.extract_init = extract_init_fn or extract_fn
+        self.map = map_store
+        self.cfg = cfg
+        self.params = matcher.MatchParams(
+            desc_bytes=cfg.desc_bytes, masked=cfg.masked,
+            scale_factor=cfg.scale_factor)
+        self.state = TrackState.NO_IMAGES_YET
+        self.key = jax.random.PRNGKey(42)
+
+        self.frame_id = -1
+        self.last_kf_id = -1
+        self.last_reloc_frame = -1000
+        self.velocity: Optional[np.ndarray] = None   # 4x4 V = M_last^-1 M_cur
+
+        # current / last frame data
+        self.cur_feats: Optional[Features] = None
+        self.cur_pt: Optional[np.ndarray] = None     # (C, K) map point ids
+        self.cur_outlier: Optional[np.ndarray] = None
+        self.cur_mt = np.zeros(6)
+        self.last_feats: Optional[Features] = None
+        self.last_pt: Optional[np.ndarray] = None
+        self.last_outlier: Optional[np.ndarray] = None
+        self.last_mt = np.zeros(6)
+
+        self.init_ref_feats: Optional[Features] = None
+
+        # eval vectors (cTracking.h:114-121)
+        self.all_poses: list[np.ndarray] = []
+        self.timestamps: list[float] = []
+        self.inlier_ratios: list[float] = []
+        self.n_tracked: list[int] = []
+
+        # callbacks wired by the System
+        self.on_new_keyframe = None        # fn(kf_id)
+        self.force_reloc = False
+
+    # ------------------------------------------------------------------
+
+    def _next_key(self):
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    def track(self, images, timestamp: float) -> Optional[np.ndarray]:
+        """Main entry (cTracking::GrabImageSet + Track). Returns the
+        estimated M_t (4x4) or None while not tracking."""
+        self.frame_id += 1
+        C, K = self.map.kf_pt.shape[1], self.map.kf_pt.shape[2]
+
+        if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED,
+                          TrackState.INITIALIZING):
+            feats = self.extract_init(images)
+        else:
+            feats = self.extract(images)
+        self.cur_feats = feats
+        self.cur_pt = np.full((C, K), -1, np.int32)
+        self.cur_outlier = np.zeros((C, K), bool)
+
+        if self.state == TrackState.NO_IMAGES_YET:
+            self.state = TrackState.NOT_INITIALIZED
+
+        if self.state == TrackState.NOT_INITIALIZED:
+            self._first_initialization()
+        elif self.state == TrackState.INITIALIZING:
+            self._try_initialize()
+        else:
+            ok = False
+            if self.state == TrackState.WORKING and not self.force_reloc:
+                if (self.velocity is not None and self.cfg.use_motion_model
+                        and self.frame_id >= self.last_reloc_frame + 2):
+                    ok = self._track_with_motion_model()
+                if not ok:
+                    ok = self._track_previous_frame()
+            else:
+                ok = self._relocalize()
+                if ok:
+                    self.force_reloc = False
+
+            if ok:
+                ok = self._track_local_map()
+
+            if ok:
+                self.state = TrackState.WORKING
+                if self._need_new_keyframe():
+                    self._create_new_keyframe()
+                # motion model V = M_last^-1 * M_cur  (cTracking.cpp:327-338)
+                M_last = np.asarray(cayley2hom(jnp.asarray(self.last_mt)))
+                M_cur = np.asarray(cayley2hom(jnp.asarray(self.cur_mt)))
+                self.velocity = np.linalg.inv(M_last) @ M_cur
+            else:
+                self.state = TrackState.LOST
+                self.velocity = None
+                # reset if the map is young (cTracking.cpp:317-324)
+                if self.map.n_keyframes() <= 3:
+                    self.reset()
+                    return None
+
+        # roll frame state
+        self.last_feats = self.cur_feats
+        self.last_pt = self.cur_pt
+        self.last_outlier = self.cur_outlier
+        self.last_mt = self.cur_mt.copy()
+        if self.state == TrackState.WORKING:
+            M = np.asarray(cayley2hom(jnp.asarray(self.cur_mt)))
+            self.all_poses.append(M)
+            self.timestamps.append(timestamp)
+            return M
+        return None
+
+    # ------------------------------------------------------------------
+    # initialization
+    # ------------------------------------------------------------------
+
+    def _first_initialization(self):
+        """cTracking::FirstInitialization (:375-391): require >= 100 kps."""
+        if int(np.asarray(self.cur_feats.valid).sum()) >= initializer.MIN_MATCHES:
+            self.init_ref_feats = self.cur_feats
+            self.cur_mt = np.zeros(6)
+            self.state = TrackState.INITIALIZING
+
+    def _try_initialize(self):
+        feats = self.cur_feats
+        if int(np.asarray(feats.valid).sum()) < initializer.MIN_MATCHES:
+            self.state = TrackState.NOT_INITIALIZED
+            return
+        cand = initializer.initialize_device(
+            self._next_key(), self.rig, self.init_ref_feats, feats,
+            self.params)
+        if int(np.asarray(cand.match_idx >= 0).sum()) < initializer.MIN_MATCHES:
+            self.state = TrackState.NOT_INITIALIZED
+            return
+        res = initializer.pick_leading_camera(cand, self.rig)
+        if res is None:
+            return  # keep trying with the same reference
+        self._create_initial_map(res)
+
+    def _create_initial_map(self, res: initializer.InitResult):
+        """cTracking::CreateInitialMap (:439-722), simplified: 2 MKFs +
+        lead-camera points + pose refinement via BA (host mapping adds
+        cross-camera points later)."""
+        m = self.map
+        kf0 = m.alloc_keyframe(res.mt_ref, self.init_ref_feats,
+                               self.frame_id - 1)
+        kf1 = m.alloc_keyframe(res.mt_cur, self.cur_feats, self.frame_id)
+
+        ids = m.alloc_points(len(res.X_world))
+        m.pt_pos[ids] = res.X_world.astype(np.float32)
+        m.pt_first_kf[ids] = kf0
+        lead = res.lead_cam
+        for i, p in enumerate(ids):
+            m.add_observation(int(p), kf0, lead, int(res.ref_slots[i]))
+            m.add_observation(int(p), kf1, lead, int(res.cur_slots[i]))
+        m.update_point_stats(ids, self._kf_cam_center,
+                             self.cfg.scale_factor, self.cfg.n_levels)
+        m.update_spanning_tree(kf1)
+
+        # current frame associations
+        self.cur_pt[lead, res.cur_slots] = ids
+        self.cur_mt = res.mt_cur.copy()
+        self.last_kf_id = kf1
+        self.state = TrackState.WORKING
+        self.velocity = None
+        if self.on_new_keyframe:
+            self.on_new_keyframe(kf0)
+            self.on_new_keyframe(kf1)
+            # local BA refines kf1's pose; keep the tracker consistent
+            # with the refined map (reference: GlobalBundleAdjustment
+            # inside CreateInitialMap updates the current frame pose)
+            self.cur_mt = m.kf_pose[kf1].copy()
+
+    def _kf_cam_center(self, kf: int, cam: int) -> np.ndarray:
+        M_t = np.asarray(cayley2hom(jnp.asarray(self.map.kf_pose[kf])))
+        return (M_t @ np.asarray(self.rig.M_c[cam], np.float64))[:3, 3]
+
+    # ------------------------------------------------------------------
+    # frame-to-frame tracking
+    # ------------------------------------------------------------------
+
+    def _gather_last_slot_points(self):
+        """(C, K, 3) world position per last-frame slot (zeros if none)."""
+        C, K = self.last_pt.shape
+        # follow merge forwarding first (mapper may have fused landmarks)
+        self.last_pt = self.map.resolve_points(self.last_pt)
+        pts = np.zeros((C, K, 3), np.float32)
+        has = (self.last_pt >= 0) & ~self.last_outlier
+        ids = self.last_pt[has]
+        pts[has] = self.map.pt_pos[ids]
+        # drop slots whose point died
+        alive = np.zeros((C, K), bool)
+        alive[has] = self.map.pt_valid[ids]
+        return pts, alive
+
+    def _track_with_motion_model(self) -> bool:
+        """cTracking::TrackWithMotionModel (:790-832)."""
+        M_last = np.asarray(cayley2hom(jnp.asarray(self.last_mt)))
+        M_pred = M_last @ self.velocity
+        mt_pred = np.asarray(hom2cayley(jnp.asarray(M_pred)))
+
+        pts, has = self._gather_last_slot_points()
+        if has.sum() < 20:
+            return False
+        uv_pred, ok = project_slots(self.rig, jnp.asarray(mt_pred), jnp.asarray(pts))
+        match = matcher.match_frame_to_frame(
+            self.cur_feats, self.last_feats, jnp.asarray(has),
+            jnp.asarray(self.cur_pt >= 0), uv_pred, ok, self.params,
+            th=self.cfg.motion_th)
+        match = np.asarray(match)
+        n_matches = int((match >= 0).sum())
+        if n_matches < 20:
+            return False
+
+        # assign matched map points to current slots
+        C, K = match.shape
+        for c in range(C):
+            sel = np.nonzero(match[c] >= 0)[0]
+            self.cur_pt[c, match[c, sel]] = self.last_pt[c, sel]
+
+        return self._optimize_current_pose(mt_pred,
+                                           self.cfg.min_inliers_track)
+
+    def _track_previous_frame(self) -> bool:
+        """cTracking::TrackPreviousFrame (:724-788): wide window search
+        from the last frame, then pose optimization."""
+        pts, has = self._gather_last_slot_points()
+        if has.sum() < 10:
+            return False
+        match = matcher.window_search(
+            self.last_feats, self.cur_feats, jnp.asarray(has), self.params,
+            window=200.0, nn_ratio=0.9)
+        match = np.asarray(match)      # (C, K_last) -> cur slot
+        C, K = match.shape
+        n = 0
+        for c in range(C):
+            sel = np.nonzero(match[c] >= 0)[0]
+            self.cur_pt[c, match[c, sel]] = self.last_pt[c, sel]
+            n += len(sel)
+        if n < 20:
+            return False
+        return self._optimize_current_pose(self.last_mt,
+                                           self.cfg.min_inliers_track)
+
+    def _optimize_current_pose(self, mt_init, min_inliers: int) -> bool:
+        """Pose-only LM over the current frame associations."""
+        C, K = self.cur_pt.shape
+        self.cur_pt = self.map.resolve_points(self.cur_pt)
+        has = self.cur_pt >= 0
+        cam_idx, slot_idx = np.nonzero(has)
+        pt_ids = self.cur_pt[cam_idx, slot_idx]
+        alive = self.map.pt_valid[pt_ids]
+        cam_idx, slot_idx, pt_ids = (cam_idx[alive], slot_idx[alive],
+                                     pt_ids[alive])
+        n = len(pt_ids)
+        if n < min_inliers:
+            return False
+        cap = bucket(n, 128)
+        uv = np.zeros((cap, 2), np.float32)
+        xy = np.asarray(self.cur_feats.xy)
+        lvl = np.asarray(self.cur_feats.level)
+        uv[:n] = xy[cam_idx, slot_idx]
+        inv_sigma2 = np.ones(cap, np.float32)
+        inv_sigma2[:n] = self.cfg.scale_factor ** (
+            -2.0 * lvl[cam_idx, slot_idx])
+        cams = np.zeros(cap, np.int32)
+        cams[:n] = cam_idx
+        X = np.zeros((cap, 3), np.float32)
+        X[:n] = self.map.pt_pos[pt_ids]
+        valid = np.zeros(cap, bool)
+        valid[:n] = True
+        obs = opt.BAObservations(
+            uv=jnp.asarray(uv), kf=jnp.zeros(cap, jnp.int32),
+            cam=jnp.asarray(cams), pt=jnp.arange(cap, dtype=jnp.int32),
+            inv_sigma2=jnp.asarray(inv_sigma2), valid=jnp.asarray(valid))
+        mt, inlier, n_in = opt.pose_optimization(
+            self.rig, jnp.asarray(np.asarray(mt_init, np.float64)), obs,
+            jnp.asarray(X))
+        n_in = int(n_in)
+        inlier = np.asarray(inlier)[:n]
+        # mark outliers on the frame (cOptimizer.cpp:414-438 effect)
+        out_c = cam_idx[~inlier]
+        out_s = slot_idx[~inlier]
+        self.cur_outlier[out_c, out_s] = True
+        self.cur_mt = np.asarray(mt)
+        self.inlier_ratios.append(n_in / max(n, 1))
+        return n_in >= min_inliers
+
+    # ------------------------------------------------------------------
+    # local map tracking
+    # ------------------------------------------------------------------
+
+    def _local_map_ids(self):
+        """UpdateReference (cTracking.cpp:1014-1123): keyframes observing
+        current points (K1) + their covisible neighbours (K2); local
+        points = all points of those KFs."""
+        votes: dict[int, int] = {}
+        for pid in self.cur_pt[self.cur_pt >= 0]:
+            if not self.map.pt_valid[pid]:
+                continue
+            for kf, _, _ in self.map.pt_obs.get(int(pid), []):
+                votes[kf] = votes.get(kf, 0) + 1
+        if not votes:
+            return np.empty(0, np.int32), np.empty(0, np.int32)
+        k1 = sorted(votes, key=lambda k: -votes[k])
+        local_kfs = list(k1)
+        for kf in k1[:10]:
+            for nkf in self.map.covisible_keyframes(kf, best_n=10):
+                if nkf not in local_kfs:
+                    local_kfs.append(nkf)
+        pts = set()
+        for kf in local_kfs:
+            arr = self.map.kf_pt[kf]
+            pts.update(int(p) for p in arr[arr >= 0])
+        pts = np.asarray([p for p in pts if self.map.pt_valid[p]], np.int32)
+        return np.asarray(local_kfs, np.int32), pts
+
+    def _track_local_map(self) -> bool:
+        """TrackLocalMap (:834-888)."""
+        local_kfs, local_pts = self._local_map_ids()
+        if len(local_pts) == 0:
+            return False
+        m = self.map
+        cap = bucket(len(local_pts), 256)
+        P = len(local_pts)
+        pad = lambda a, fill=0: np.concatenate(
+            [a, np.full((cap - P,) + a.shape[1:], fill, a.dtype)], 0)
+        X = pad(m.pt_pos[local_pts])
+        normal = pad(m.pt_normal[local_pts])
+        mind = pad(m.pt_min_dist[local_pts])
+        maxd = pad(m.pt_max_dist[local_pts], 1.0)
+        desc = pad(m.pt_desc[local_pts])
+        dmask = pad(m.pt_desc_mask[local_pts])
+
+        uv, ok, lvl, vcos = frustum_check(
+            self.rig, jnp.asarray(self.cur_mt), jnp.asarray(X),
+            jnp.asarray(normal), jnp.asarray(mind), jnp.asarray(maxd),
+            n_levels=self.cfg.n_levels, scale_factor=self.cfg.scale_factor)
+        ok = np.array(ok)
+        ok[:, P:] = False
+        # don't re-match points already in the frame
+        in_frame = np.isin(local_pts, self.cur_pt[self.cur_pt >= 0])
+        ok[:, :P] &= ~in_frame[None, :]
+        # visibility counters (isInFrustum -> IncreaseVisible)
+        vis = ok[:, :P].any(0)
+        m.pt_visible[local_pts[vis]] += 1
+
+        match = matcher.match_local_map(
+            self.cur_feats, jnp.asarray(self.cur_pt >= 0),
+            jnp.asarray(desc), jnp.asarray(dmask), uv, jnp.asarray(ok),
+            lvl, vcos, self.params, th=self.cfg.local_map_th)
+        match = np.asarray(match)      # (C, cap) -> frame slot
+        C = match.shape[0]
+        for c in range(C):
+            sel = np.nonzero(match[c, :P] >= 0)[0]
+            slots = match[c, sel]
+            free = self.cur_pt[c, slots] < 0
+            self.cur_pt[c, slots[free]] = local_pts[sel[free]]
+
+        okpose = self._optimize_current_pose(self.cur_mt,
+                                             self.cfg.min_inliers_local)
+        # found counters for culling (TrackLocalMap IncreaseFound)
+        tracked = self.cur_pt[(self.cur_pt >= 0) & ~self.cur_outlier]
+        m.pt_found[tracked] += 1
+        self.n_tracked.append(len(tracked))
+        return okpose
+
+    # ------------------------------------------------------------------
+    # keyframe policy
+    # ------------------------------------------------------------------
+
+    def _need_new_keyframe(self) -> bool:
+        """cTracking::NeedNewKeyFrame (:890-938)."""
+        m = self.map
+        if self.last_kf_id < 0:
+            return False
+        n_tracked = int(((self.cur_pt >= 0) & ~self.cur_outlier).sum())
+        frames_since = self.frame_id - m.kf_frame_id[self.last_kf_id]
+        if frames_since < self.cfg.min_frames:
+            return False
+        # tracked vs reference KF points
+        ref_pts = int((m.kf_pt[self.last_kf_id] >= 0).sum())
+        weak = n_tracked < ref_pts * self.cfg.kf_tracked_ratio
+        stale = frames_since >= self.cfg.max_frames
+        # MultiCol baseline condition (:921): distance to last KF relative
+        # to median scene depth > 0.2
+        M_cur = np.asarray(cayley2hom(jnp.asarray(self.cur_mt)))
+        M_kf = np.asarray(cayley2hom(jnp.asarray(m.kf_pose[self.last_kf_id])))
+        baseline = np.linalg.norm(M_cur[:3, 3] - M_kf[:3, 3])
+        depth = self._median_scene_depth()
+        moved = depth > 0 and (baseline / depth) > self.cfg.baseline_depth_ratio
+        return (weak and n_tracked > self.cfg.kf_min_points) or stale or moved
+
+    def _median_scene_depth(self) -> float:
+        pts = self.cur_pt[(self.cur_pt >= 0) & ~self.cur_outlier]
+        if len(pts) == 0:
+            return 0.0
+        M_cur = np.asarray(cayley2hom(jnp.asarray(self.cur_mt)))
+        X = self.map.pt_pos[pts]
+        d = np.linalg.norm(X - M_cur[:3, 3], axis=1)
+        return float(np.median(d))
+
+    def _create_new_keyframe(self):
+        """cTracking::CreateNewKeyFrame (:940-951)."""
+        m = self.map
+        kf = m.alloc_keyframe(self.cur_mt, self.cur_feats, self.frame_id)
+        C, K = self.cur_pt.shape
+        for c in range(C):
+            for s in np.nonzero((self.cur_pt[c] >= 0)
+                                & ~self.cur_outlier[c])[0]:
+                pid = int(self.cur_pt[c, s])
+                if m.pt_valid[pid]:
+                    m.add_observation(pid, kf, c, int(s))
+        m.update_spanning_tree(kf)
+        self.last_kf_id = kf
+        if self.on_new_keyframe:
+            self.on_new_keyframe(kf)
+
+    # ------------------------------------------------------------------
+    # relocalization (cTracking::Relocalisation :1125-1312)
+    # ------------------------------------------------------------------
+
+    def _relocalize(self) -> bool:
+        """Candidate keyframes by descriptor matching; robust pose LM from
+        each candidate's pose (the reference uses BoW + GP3P RANSAC; BoW
+        candidates arrive with the vocabulary module, GP3P with the
+        minimal-solver set — the robust-LM fallback here fills the same
+        contract: recover WORKING from LOST)."""
+        m = self.map
+        best = None
+        for kf in m.keyframe_ids()[-10:]:
+            f_kf = m.kf_features[kf]
+            if f_kf is None:
+                continue
+            kf_has = jnp.asarray(m.kf_pt[kf] >= 0)
+            match = matcher.window_search(
+                f_kf, self.cur_feats, kf_has, self.params,
+                window=1e6, nn_ratio=0.75, use_low_th=True)
+            match = np.asarray(match)
+            n = int((match >= 0).sum())
+            if n >= 15 and (best is None or n > best[0]):
+                best = (n, kf, match)
+        if best is None:
+            return False
+        _, kf, match = best
+        C = match.shape[0]
+        for c in range(C):
+            sel = np.nonzero(match[c] >= 0)[0]
+            pids = m.kf_pt[kf, c, sel]
+            okp = pids >= 0
+            self.cur_pt[c, match[c, sel[okp]]] = pids[okp]
+        ok = self._optimize_current_pose(m.kf_pose[kf], 10)
+        if ok:
+            self.last_reloc_frame = self.frame_id
+        return ok
+
+    # ------------------------------------------------------------------
+
+    def reset(self):
+        """cTracking::Reset (:1327-1375)."""
+        self.map.clear()
+        self.state = TrackState.NOT_INITIALIZED
+        self.velocity = None
+        self.init_ref_feats = None
+        self.last_kf_id = -1
+        self.cur_pt = np.full_like(self.cur_pt, -1) \
+            if self.cur_pt is not None else None
+        self.all_poses.clear()
+        self.timestamps.clear()

@@ -75,12 +75,18 @@ class CameraModel(NamedTuple):
 
 def make_camera(c, d, e, u0, v0, poly, inv_poly, width, height,
                 dtype=jnp.float32) -> CameraModel:
-    """Build a CameraModel from python/numpy scalars + coefficient lists."""
+    """Build a CameraModel from python/numpy scalars + coefficient lists.
+
+    Fields are NUMPY arrays: calibration is static host data; keeping it
+    off-device avoids dozens of tiny host<->device transfers at load
+    time (JAX converts leaves at trace time, where they become jit
+    constants anyway).
+    """
     p = np.zeros(POLY_PAD, np.float64)
     p[: len(poly)] = np.asarray(poly, np.float64)
     ip = np.zeros(INVPOLY_PAD, np.float64)
     ip[: len(inv_poly)] = np.asarray(inv_poly, np.float64)
-    arr = lambda x: jnp.asarray(x, dtype)
+    arr = lambda x: np.asarray(x, dtype)
     return CameraModel(
         c=arr(c), d=arr(d), e=arr(e), u0=arr(u0), v0=arr(v0),
         poly=arr(p), inv_poly=arr(ip), width=arr(width), height=arr(height),
@@ -89,7 +95,7 @@ def make_camera(c, d, e, u0, v0, poly, inv_poly, width, height,
 
 def stack_cameras(cams: Sequence[CameraModel]) -> CameraModel:
     """Stack N CameraModels into one batched CameraModel (leading axis N)."""
-    return jax.tree.map(lambda *xs: jnp.stack(xs, 0), *cams)
+    return jax.tree.map(lambda *xs: np.stack(xs, 0), *cams)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,130 @@
+"""Batched RANSAC primitives: hypotheses as a vmap axis.
+
+The reference uses OpenGV's sequential sample-consensus loop
+(opengv::sac::Ransac with STEWENIUS 5-pt for initialization,
+cMultiInitializer.cpp:131-146, threshold 1e-4, 200 iters; GP3P for
+relocalization, cTracking.cpp:1234-1266). TPU-first re-design: draw ALL
+minimal samples up front with jax.random, solve every hypothesis in one
+vmapped batch, score all hypotheses x all correspondences in one dense
+pass, argmax inliers. No data-dependent iteration count - a fixed
+hypothesis budget >= the reference's max_iterations bound.
+
+Central relative pose uses the 8-point essential algorithm on bearing
+vectors (the reference's Stewenius 5-pt fills the same role; 8-point
+batches onto the MXU as one (S, 8, 9) SVD sweep).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .geometry import skew, triangulate_midpoint
+
+
+def sample_minimal_sets(key: jax.Array, n_hyps: int, sample_size: int,
+                        n_points: int, weights: jax.Array | None = None):
+    """(n_hyps, sample_size) int32 indices drawn iid (with replacement
+    across hypotheses; within a hypothesis duplicates are possible but
+    merely waste that hypothesis - same robustness model as reference
+    RANSAC with a larger budget)."""
+    if weights is None:
+        return jax.random.randint(key, (n_hyps, sample_size), 0, n_points)
+    idx = jax.random.categorical(
+        key, jnp.log(weights + 1e-12)[None, :], axis=-1,
+        shape=(n_hyps, sample_size))
+    return idx
+
+
+# ---------------------------------------------------------------------------
+# Essential matrix: 8-point on bearing vectors
+# ---------------------------------------------------------------------------
+
+def essential_8pt(v1: jax.Array, v2: jax.Array) -> jax.Array:
+    """Central relative pose from >=8 bearing-vector pairs.
+
+    v1, v2: (M, 3) unit rays in camera 1 / camera 2 with constraint
+    v1^T E v2 = 0 (E = [t12]x R12, pose of cam2 in cam1 frame - the
+    convention of ops/geometry). Returns (3, 3) E (up to scale),
+    projected onto the essential manifold (two equal singular values).
+    """
+    # each pair gives a row kron(v1, v2) . vec(E) = 0
+    A = (v1[:, :, None] * v2[:, None, :]).reshape(v1.shape[0], 9)
+    # null vector via eigh of A^T A (9x9 symmetric; batched-friendly)
+    _, V = jnp.linalg.eigh(A.T @ A)
+    E = V[:, 0].reshape(3, 3)
+    # project to essential manifold: singular values -> (1, 1, 0)
+    U, s, Vt = jnp.linalg.svd(E)
+    return (U * jnp.asarray([1.0, 1.0, 0.0])) @ Vt
+
+
+def decompose_essential(E: jax.Array):
+    """E -> 4 candidate (R12, t12) with ||t|| = 1 (standard U W V^T
+    factorizations)."""
+    U, _, Vt = jnp.linalg.svd(E)
+    # enforce proper rotations
+    d = jnp.linalg.det(U) * jnp.linalg.det(Vt)
+    W = jnp.asarray([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+    Ra = U @ W @ Vt * jnp.sign(d)
+    Rb = U @ W.T @ Vt * jnp.sign(d)
+    t = U[:, 2]
+    return (jnp.stack([Ra, Ra, Rb, Rb]),
+            jnp.stack([t, -t, t, -t]))
+
+
+def _epipolar_err(E, v1, v2):
+    """Squared epipolar residual per pair (same form the reference uses
+    for its ray threshold 1e-4: 1 - cos^2-style algebraic distance)."""
+    Ev2 = jnp.einsum("ij,nj->ni", E, v2)
+    Etv1 = jnp.einsum("ji,nj->ni", E, v1)
+    num = jnp.einsum("ni,ni->n", v1, Ev2)
+    den = jnp.sum(Ev2[:, :2] ** 2, -1) + jnp.sum(Etv1[:, :2] ** 2, -1)
+    return num * num / jnp.maximum(den, 1e-12)
+
+
+@functools.partial(jax.jit, static_argnames=("n_hyps",))
+def ransac_essential(key: jax.Array, v1: jax.Array, v2: jax.Array,
+                     valid: jax.Array, *, threshold: float = 1e-4,
+                     n_hyps: int = 256):
+    """Batched 8-point essential RANSAC over bearing pairs.
+
+    v1, v2: (N, 3); valid: (N,) bool. Returns (E_best, inlier_mask,
+    n_inliers). Matches the role of the reference's STEWENIUS RANSAC
+    (threshold 1e-4 on ray residuals, cMultiInitializer.cpp:137-141).
+    """
+    n = v1.shape[0]
+    # sample proportional to validity so invalid points never enter
+    w = valid.astype(jnp.float32)
+    idx = sample_minimal_sets(key, n_hyps, 8, n, w)          # (S, 8)
+
+    Es = jax.vmap(lambda i: essential_8pt(v1[i], v2[i]))(idx)  # (S, 3, 3)
+    errs = jax.vmap(lambda E: _epipolar_err(E, v1, v2))(Es)    # (S, N)
+    inl = (errs < threshold) & valid[None, :]
+    scores = jnp.sum(inl, 1)
+    best = jnp.argmax(scores)
+    return Es[best], inl[best], scores[best]
+
+
+def cheirality_counts(R12s: jax.Array, t12s: jax.Array, v1: jax.Array,
+                      v2: jax.Array, valid: jax.Array):
+    """For each candidate (R, t): triangulate all pairs, count points in
+    front of BOTH cameras (the CheckRT vote, cMultiInitializer.cpp:200-307).
+
+    Convention: (R12, t12) = pose of cam2 in cam1 frame; a point X (in
+    cam1) is in front of cam2 if (R12^T (X - t12))_z > 0... both
+    z-components must be positive along the rays: lambda1, lambda2 > 0.
+    Returns (4,) counts and the (4, N, 3) triangulated points.
+    """
+
+    def one(R12, t12):
+        X = triangulate_midpoint(t12, R12, v1, v2)            # (N, 3) cam1
+        z1 = jnp.einsum("ni,ni->n", X, v1)                    # depth along ray1
+        X2 = jnp.einsum("ji,nj->ni", R12, X - t12)            # into cam2
+        z2 = jnp.einsum("ni,ni->n", X2, v2)
+        ok = (z1 > 0) & (z2 > 0) & valid
+        return jnp.sum(ok), X
+
+    counts, Xs = jax.vmap(one)(R12s, t12s)
+    return counts, Xs

@@ -38,14 +38,36 @@ class Rig(NamedTuple):
         return hom2cayley(self.M_c)
 
 
+import numpy as np
+
+
 def make_rig(M_c_list: Sequence[jax.Array], cams: Sequence[CameraModel]) -> Rig:
-    return Rig(M_c=jnp.stack([jnp.asarray(m) for m in M_c_list], 0),
+    return Rig(M_c=np.stack([np.asarray(m) for m in M_c_list], 0),
                cams=cam_ops.stack_cameras(cams))
 
 
-def rig_from_cayley(M_c_min: jax.Array, cams: CameraModel) -> Rig:
-    """Build a rig from (N, 6) minimal extrinsics (cSystem.cpp:129-144)."""
-    return Rig(M_c=cayley2hom(M_c_min), cams=cams)
+def rig_from_cayley(M_c_min, cams: CameraModel) -> Rig:
+    """Build a rig from (N, 6) minimal extrinsics (cSystem.cpp:129-144).
+
+    Pure numpy (host calibration path — no device round trips)."""
+    M_c_min = np.asarray(M_c_min)
+    out = np.zeros(M_c_min.shape[:-1] + (4, 4), M_c_min.dtype)
+    c1, c2, c3 = M_c_min[..., 0], M_c_min[..., 1], M_c_min[..., 2]
+    c1s, c2s, c3s = c1 * c1, c2 * c2, c3 * c3
+    scale = 1.0 + c1s + c2s + c3s
+    out[..., 0, 0] = 1 + c1s - c2s - c3s
+    out[..., 0, 1] = 2 * (c1 * c2 - c3)
+    out[..., 0, 2] = 2 * (c1 * c3 + c2)
+    out[..., 1, 0] = 2 * (c1 * c2 + c3)
+    out[..., 1, 1] = 1 - c1s + c2s - c3s
+    out[..., 1, 2] = 2 * (c2 * c3 - c1)
+    out[..., 2, 0] = 2 * (c1 * c3 - c2)
+    out[..., 2, 1] = 2 * (c2 * c3 + c1)
+    out[..., 2, 2] = 1 - c1s - c2s + c3s
+    out[..., :3, :3] /= scale[..., None, None]
+    out[..., :3, 3] = M_c_min[..., 3:6]
+    out[..., 3, 3] = 1.0
+    return Rig(M_c=out, cams=cams)
 
 
 # ---------------------------------------------------------------------------

@@ -92,6 +92,20 @@ def make_renderer(rig: Rig, dtype=jnp.float32):
     return render
 
 
+def lateral_trajectory(n_frames: int, step: float = 0.05,
+                       yaw_rate: float = 0.004) -> np.ndarray:
+    """(n_frames, 4, 4) poses: constant lateral translation + slow yaw —
+    the parallax-friendliest motion for monocular-style initialization."""
+    out = np.zeros((n_frames, 4, 4))
+    for i in range(n_frames):
+        ang = yaw_rate * i
+        c, s = np.cos(ang), np.sin(ang)
+        out[i, :3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        out[i, :3, 3] = [step * i, 0.004 * i, 0.002 * i]
+        out[i, 3, 3] = 1.0
+    return out
+
+
 def smooth_trajectory(n_frames: int, radius: float = 1.0,
                       height_amp: float = 0.2) -> np.ndarray:
     """(n_frames, 4, 4) body-to-world poses: a slow arc with yaw, like a

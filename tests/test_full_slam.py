@@ -1,0 +1,90 @@
+"""Full SLAM system test: synthetic 3-fisheye sequence through the REAL
+pipeline — initialization (8pt RANSAC + CheckRT), tracking (motion model
++ local map), keyframes, local mapping (triangulation + local BA).
+
+This is the integration test the reference only did manually on Lafida
+(SURVEY.md §4c): ATE against ground truth after Sim3 alignment.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from multicol_slam_tpu.models.system import MultiColSLAM
+from multicol_slam_tpu.models.tracking import TrackState
+from multicol_slam_tpu.utils import config_io, synthetic
+from multicol_slam_tpu.utils.trajectory import ate_rmse
+
+CALIB_DIR = "/root/reference/Examples/Lafida"
+
+
+@pytest.fixture(scope="module")
+def slam_run():
+    settings = config_io.SlamSettings(n_features=250, n_levels=4, fps=25.0)
+    slam = MultiColSLAM(CALIB_DIR, settings=settings,
+                        capacity_pts=20000, capacity_kfs=64)
+    render = synthetic.make_renderer(slam.rig)
+
+    n_frames = 30
+    gt = synthetic.lateral_trajectory(n_frames, step=0.045)
+    est = []
+    used_gt = []
+    states = []
+    for t in range(n_frames):
+        imgs = render(jnp.asarray(gt[t], jnp.float32))
+        M = slam.track(imgs, t / 25.0)
+        states.append(slam.state)
+        if M is not None:
+            est.append(M)
+            used_gt.append(gt[t])
+    slam.shutdown()
+    return slam, est, used_gt, states
+
+
+def test_initializes_and_tracks(slam_run):
+    slam, est, used_gt, states = slam_run
+    assert TrackState.WORKING in states, f"states: {[s.name for s in states]}"
+    # after initialization the system should stay WORKING
+    first_work = states.index(TrackState.WORKING)
+    working_frac = np.mean([s == TrackState.WORKING
+                            for s in states[first_work:]])
+    assert working_frac > 0.9, f"tracking lost too often: {working_frac}"
+    assert len(est) >= 15
+
+
+def test_map_grows(slam_run):
+    slam, *_ = slam_run
+    assert slam.map.n_keyframes() >= 2
+    assert slam.map.n_points() > 100
+
+
+def test_trajectory_accuracy(slam_run):
+    slam, est, used_gt, _ = slam_run
+    est_pos = np.stack([M[:3, 3] for M in est])
+    gt_pos = np.stack([M[:3, 3] for M in used_gt])
+    rmse = ate_rmse(est_pos, gt_pos, with_scale=True)
+    # trajectory spans ~1m; accept < 5 cm ATE after Sim3 alignment
+    assert rmse < 0.05, f"ATE RMSE {rmse:.4f} m"
+
+
+def test_rotation_accuracy(slam_run):
+    slam, est, used_gt, _ = slam_run
+    # relative rotation between consecutive frames must match GT
+    errs = []
+    for i in range(1, len(est)):
+        R_est = est[i - 1][:3, :3].T @ est[i][:3, :3]
+        R_gt = used_gt[i - 1][:3, :3].T @ used_gt[i][:3, :3]
+        dR = R_est.T @ R_gt
+        ang = np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))
+        errs.append(np.rad2deg(ang))
+    assert np.median(errs) < 0.5, f"median rel-rot err {np.median(errs)} deg"
+
+
+def test_trajectory_io(tmp_path, slam_run):
+    slam, est, *_ = slam_run
+    p = str(tmp_path / "traj.txt")
+    slam.save_trajectory(p)
+    from multicol_slam_tpu.utils.trajectory import load_tum
+    ts, pos, quat = load_tum(p)
+    assert len(ts) == len(slam.tracker.all_poses)
+    np.testing.assert_allclose(np.linalg.norm(quat, axis=1), 1.0, atol=1e-5)

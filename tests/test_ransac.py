@@ -1,0 +1,95 @@
+"""Synthetic-geometry tests for batched essential RANSAC (OpenGV test
+style, SURVEY.md §4b)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multicol_slam_tpu.ops import ransac
+
+from test_geometry import random_rotation
+
+
+def make_pair(rng, n, outlier_frac=0.0):
+    R12 = random_rotation(rng) @ np.diag([1.0, 1.0, 1.0])
+    # keep rotation small-ish so points stay in front
+    w = rng.standard_normal(3) * 0.1
+    from multicol_slam_tpu.ops.geometry import rodrigues2rot
+    R12 = np.asarray(rodrigues2rot(jnp.asarray(w)))
+    t12 = rng.standard_normal(3) * 0.3
+    X = rng.standard_normal((n, 3)) * 2 + np.array([0, 0, 6])
+    v1 = X / np.linalg.norm(X, axis=1, keepdims=True)
+    X2 = (X - t12) @ R12
+    v2 = X2 / np.linalg.norm(X2, axis=1, keepdims=True)
+    n_out = int(n * outlier_frac)
+    if n_out:
+        bad = rng.choice(n, n_out, replace=False)
+        rnd = rng.standard_normal((n_out, 3))
+        v2[bad] = rnd / np.linalg.norm(rnd, axis=1, keepdims=True)
+    else:
+        bad = np.array([], int)
+    return R12, t12, v1, v2, bad
+
+
+def test_ransac_essential_clean():
+    rng = np.random.default_rng(0)
+    R12, t12, v1, v2, _ = make_pair(rng, 200)
+    E, inl, n_in = ransac.ransac_essential(
+        jax.random.PRNGKey(0), jnp.asarray(v1), jnp.asarray(v2),
+        jnp.ones(200, bool))
+    assert int(n_in) > 190
+    # E must satisfy v1^T E v2 ~ 0
+    res = np.einsum("ni,ij,nj->n", v1, np.asarray(E), v2)
+    assert np.abs(res).max() < 1e-6
+
+
+def test_ransac_essential_outliers():
+    rng = np.random.default_rng(1)
+    n = 300
+    R12, t12, v1, v2, bad = make_pair(rng, n, outlier_frac=0.3)
+    E, inl, n_in = ransac.ransac_essential(
+        jax.random.PRNGKey(1), jnp.asarray(v1), jnp.asarray(v2),
+        jnp.ones(n, bool), n_hyps=512)
+    inl = np.asarray(inl)
+    clean = np.setdiff1d(np.arange(n), bad)
+    assert inl[clean].mean() > 0.95
+    assert inl[bad].mean() < 0.1
+
+
+def test_decompose_and_cheirality():
+    rng = np.random.default_rng(2)
+    R12, t12, v1, v2, _ = make_pair(rng, 150)
+    E, _, _ = ransac.ransac_essential(
+        jax.random.PRNGKey(2), jnp.asarray(v1), jnp.asarray(v2),
+        jnp.ones(150, bool))
+    Rs, ts = ransac.decompose_essential(E)
+    counts, Xs = ransac.cheirality_counts(Rs, ts, jnp.asarray(v1),
+                                          jnp.asarray(v2),
+                                          jnp.ones(150, bool))
+    counts = np.asarray(counts)
+    best = int(np.argmax(counts))
+    assert counts[best] > 140
+    # the winning candidate matches ground truth up to scale
+    R_est = np.asarray(Rs[best])
+    t_est = np.asarray(ts[best])
+    np.testing.assert_allclose(R_est, R12, atol=1e-4)
+    t_gt = t12 / np.linalg.norm(t12)
+    assert min(np.linalg.norm(t_est - t_gt), np.linalg.norm(t_est + t_gt)) < 1e-4
+    # triangulated points re-project onto their source rays
+    X_est = np.asarray(Xs[best])
+    dirs = X_est / np.linalg.norm(X_est, axis=1, keepdims=True)
+    assert np.abs((dirs * v1).sum(1) - 1).max() < 1e-6
+
+
+def test_invalid_points_excluded():
+    rng = np.random.default_rng(3)
+    n = 100
+    R12, t12, v1, v2, _ = make_pair(rng, n)
+    valid = np.ones(n, bool)
+    valid[50:] = False
+    v2[50:] = rng.standard_normal((50, 3))  # garbage in invalid region
+    E, inl, n_in = ransac.ransac_essential(
+        jax.random.PRNGKey(3), jnp.asarray(v1), jnp.asarray(v2),
+        jnp.asarray(valid))
+    assert not np.asarray(inl)[50:].any()
+    assert int(n_in) >= 45
