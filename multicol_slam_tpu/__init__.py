@@ -21,3 +21,13 @@ Architecture (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# SLAM geometry is precision-critical: pose chains, essential-matrix
+# nullspaces and LM normal equations break under the TPU's default
+# bf16-decomposed f32 matmuls (pixel-level residuals with sub-pixel
+# thresholds). Force true-f32 matmuls framework-wide; the descriptor
+# popcount-GEMMs use +-1 bf16 operands whose products are exact at any
+# precision setting, so the hot path keeps full MXU throughput.
+_jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,393 @@
+"""Loop closing (cLoopClosing.{h,cpp} + cSim3Solver).
+
+Reference pipeline per keyframe (cLoopClosing.cpp:63-98):
+  DetectLoop (:113-245): >= 10 KFs since last loop; minScore = lowest
+    BoW score among the query's covisible KFs; database candidates;
+    candidates must be covisibility-consistent across 3 consecutive
+    detections.
+  ComputeSim3 (:247-427): SearchByBoW >= 15 matches -> Sim3 RANSAC
+    (Horn 3-point, bidirectional rig-reprojection inlier gate,
+    cSim3Solver.cpp) -> guided SearchBySim3 -> OptimizeSim3 >= 20
+    inliers -> project loop-neighborhood points, >= 20 total matches.
+  CorrectLoop (:429-595): propagate the corrected Sim3 over the current
+    covisible group and remap their points, fuse duplicates, add loop
+    edges, OptimizeEssentialGraph, flag the tracker.
+
+TPU-first: BoW transform, Sim3 RANSAC (vmapped Horn over hypothesis
+batches), guided matching and both optimizations are device batches;
+candidate bookkeeping and map surgery are host-side.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.camera import world_to_img
+from ..ops.geometry import cayley2hom, hom2cayley, inv_se3
+from ..ops.rig import Rig
+from ..ops.sim3 import Sim3, horn_alignment, sim3_exp, sim3_log, sim3_from_se3
+from . import matcher
+from . import sim3_opt
+from .keyframe_database import KeyFrameDatabase
+from .map import MapStore
+from .vocabulary import Vocabulary, bow_score_l1, bow_vector, transform_words
+
+MIN_KFS_BETWEEN_LOOPS = 10     # cLoopClosing.cpp:125
+CONSISTENCY_TH = 3             # 3 consecutive consistent detections
+MIN_BOW_MATCHES = 15           # :258
+MIN_SIM3_INLIERS = 20          # :343-364
+MIN_TOTAL_MATCHES = 20         # :400-424
+RANSAC_HYPS = 256
+RANSAC_CHI2 = 9.21             # per-direction gate (cSim3Solver.cpp:374-415)
+
+
+@dataclasses.dataclass
+class LoopCloser:
+    rig: Rig
+    map: MapStore
+    voc: Vocabulary
+    db: KeyFrameDatabase
+    params: matcher.MatchParams
+    fix_scale: bool = False
+
+    def __post_init__(self):
+        self.last_loop_kf = -MIN_KFS_BETWEEN_LOOPS
+        self.consistent_groups: list[tuple[set[int], int]] = []
+        self.kf_words: dict[int, np.ndarray] = {}
+        self.kf_nodes: dict[int, np.ndarray] = {}
+        self.on_loop = None          # callback(kf, loop_kf) after correction
+        self.key = jax.random.PRNGKey(7)
+
+    # ------------------------------------------------------------------
+
+    def _bow_of_kf(self, kf: int):
+        if kf in self.kf_words:
+            return self.kf_words[kf], self.kf_nodes[kf]
+        f = self.map.kf_features[kf]
+        C, K = self.map.kf_pt.shape[1:3]
+        desc = jnp.reshape(f.desc, (-1, f.desc.shape[-1]))
+        valid = jnp.reshape(f.valid, (-1,))
+        words, nodes = transform_words(self.voc, desc, valid)
+        self.kf_words[kf] = np.asarray(words)
+        self.kf_nodes[kf] = np.asarray(nodes)
+        return self.kf_words[kf], self.kf_nodes[kf]
+
+    def insert_keyframe(self, kf: int) -> bool:
+        """Process one keyframe; returns True if a loop was closed."""
+        words, _ = self._bow_of_kf(kf)
+        bow = bow_vector(self.voc, words)
+        candidates = self._detect_loop(kf, bow)
+        self.db.add(kf, bow)
+        if not candidates:
+            return False
+        for cand in candidates:
+            ok = self._compute_sim3_and_correct(kf, cand)
+            if ok:
+                self.last_loop_kf = kf
+                self.consistent_groups.clear()
+                return True
+        return False
+
+    # ------------------------------------------------------------------
+
+    def _detect_loop(self, kf: int, bow) -> list[int]:
+        m = self.map
+        if kf < self.last_loop_kf + MIN_KFS_BETWEEN_LOOPS:
+            return []
+        connected = set(m.covisible_keyframes(kf))
+        # minScore: lowest BoW similarity to covisible KFs (:132-151)
+        min_score = 1.0
+        for ckf in connected:
+            if ckf in self.db.kf_bow:
+                s = bow_score_l1(bow, self.db.kf_bow[ckf])
+                min_score = min(min_score, s)
+        cands = self.db.detect_loop_candidates(kf, bow, min_score, m,
+                                               connected)
+        if not cands:
+            self.consistent_groups = []
+            return []
+        # covisibility-consistency across consecutive detections (:166-241)
+        new_groups: list[tuple[set[int], int]] = []
+        enough: list[int] = []
+        for cand in cands:
+            group = set(m.covisible_keyframes(cand, best_n=30)) | {cand}
+            matched = False
+            for prev_group, count in self.consistent_groups:
+                if group & prev_group:
+                    new_groups.append((group, count + 1))
+                    matched = True
+                    if count + 1 >= CONSISTENCY_TH:
+                        enough.append(cand)
+                    break
+            if not matched:
+                new_groups.append((group, 1))
+        self.consistent_groups = new_groups
+        return enough
+
+    # ------------------------------------------------------------------
+
+    def _matched_point_pairs(self, kf1: int, kf2: int):
+        """SearchByBoW between two keyframes: vocabulary-node-gated NN
+        over slots that carry landmarks (cORBmatcher.cpp:885)."""
+        m = self.map
+        f1, f2 = m.kf_features[kf1], m.kf_features[kf2]
+        _, nodes1 = self._bow_of_kf(kf1)
+        _, nodes2 = self._bow_of_kf(kf2)
+        C, K = m.kf_pt.shape[1:3]
+        n1 = nodes1.reshape(C, K)
+        n2 = nodes2.reshape(C, K)
+        pairs = []   # (pt1, pt2, cam1, slot1, cam2, slot2)
+        from ..ops import hamming as hm
+        # dense across cameras: flatten both KF's landmark-carrying slots
+        d1 = np.asarray(f1.desc).reshape(-1, f1.desc.shape[-1])
+        d2 = np.asarray(f2.desc).reshape(-1, f2.desc.shape[-1])
+        m1 = np.asarray(f1.desc_mask).reshape(-1, f1.desc.shape[-1])
+        m2 = np.asarray(f2.desc_mask).reshape(-1, f2.desc.shape[-1])
+        has1 = (m.kf_pt[kf1] >= 0).reshape(-1)
+        has2 = (m.kf_pt[kf2] >= 0).reshape(-1)
+        nn1 = n1.reshape(-1)
+        nn2 = n2.reshape(-1)
+        dist = hm.hamming_matrix(jnp.asarray(d1), jnp.asarray(d2))
+        gate = jnp.asarray(has1)[:, None] & jnp.asarray(has2)[None, :]
+        gate &= jnp.asarray(nn1)[:, None] == jnp.asarray(nn2)[None, :]
+        match, best_d = hm.gated_nn_match(dist, gate,
+                                          max_dist=self.params.th_low,
+                                          nn_ratio=0.75)
+        match = np.asarray(
+            hm.resolve_duplicate_targets(match, best_d, d2.shape[0]))
+        for i in np.nonzero(match >= 0)[0]:
+            j = match[i]
+            c1, s1 = divmod(int(i), K)
+            c2, s2 = divmod(int(j), K)
+            p1 = int(m.kf_pt[kf1, c1, s1])
+            p2 = int(m.kf_pt[kf2, c2, s2])
+            if p1 >= 0 and p2 >= 0 and m.pt_valid[p1] and m.pt_valid[p2]:
+                pairs.append((p1, p2, c1, s1, c2, s2))
+        return pairs
+
+    def _body_frame_points(self, kf: int, pt_ids) -> np.ndarray:
+        M = np.asarray(cayley2hom(jnp.asarray(self.map.kf_pose[kf])))
+        Minv = np.linalg.inv(M)
+        X = self.map.pt_pos[np.asarray(pt_ids, np.int32)]
+        return X @ Minv[:3, :3].T + Minv[:3, 3]
+
+    def _compute_sim3_and_correct(self, kf: int, cand: int) -> bool:
+        m = self.map
+        pairs = self._matched_point_pairs(kf, cand)
+        if len(pairs) < MIN_BOW_MATCHES:
+            return False
+        p1 = [p[0] for p in pairs]
+        p2 = [p[1] for p in pairs]
+        X1 = self._body_frame_points(kf, p1)      # (M, 3) in kf body frame
+        X2 = self._body_frame_points(cand, p2)
+
+        # --- Sim3 RANSAC (Horn 3pt, batched hypotheses) ---
+        n = len(pairs)
+        self.key, k = jax.random.split(self.key)
+        idx = jax.random.randint(k, (RANSAC_HYPS, 3), 0, n)
+        S_hyp = jax.vmap(lambda i: horn_alignment(
+            jnp.asarray(X1)[i], jnp.asarray(X2)[i],
+            fix_scale=self.fix_scale))(idx)
+        # score: bidirectional reprojection through the rigs
+        obs = self._make_sim3_obs(kf, cand, pairs, X1, X2)
+
+        def score(S: Sim3):
+            c1, c2 = _sim3_chi2(self.rig, S, obs)
+            return jnp.sum((c1 <= RANSAC_CHI2) & (c2 <= RANSAC_CHI2)
+                           & obs.valid)
+
+        scores = jax.vmap(lambda s, R, t: score(Sim3(s, R, t)))(
+            S_hyp.s, S_hyp.R, S_hyp.t)
+        best = int(np.argmax(np.asarray(scores)))
+        if int(scores[best]) < MIN_SIM3_INLIERS // 2:
+            return False
+        S0 = Sim3(S_hyp.s[best], S_hyp.R[best], S_hyp.t[best])
+
+        # --- refine (OptimizeSim3) ---
+        S12, inlier, n_in = sim3_opt.optimize_sim3(
+            self.rig, S0, obs, iters=10, fix_scale=self.fix_scale)
+        if int(n_in) < MIN_SIM3_INLIERS:
+            return False
+
+        self._correct_loop(kf, cand, S12)
+        if self.on_loop:
+            self.on_loop(kf, cand)
+        return True
+
+    def _make_sim3_obs(self, kf1, kf2, pairs, X1, X2) -> sim3_opt.Sim3Obs:
+        m = self.map
+        f1, f2 = m.kf_features[kf1], m.kf_features[kf2]
+        n = len(pairs)
+        uv1 = np.zeros((n, 2), np.float64)
+        uv2 = np.zeros((n, 2), np.float64)
+        cam1 = np.zeros(n, np.int32)
+        cam2 = np.zeros(n, np.int32)
+        s1v = np.ones(n)
+        s2v = np.ones(n)
+        xy1 = np.asarray(f1.xy)
+        xy2 = np.asarray(f2.xy)
+        lv1 = np.asarray(f1.level)
+        lv2 = np.asarray(f2.level)
+        sf = self.params.scale_factor
+        for i, (pa, pb, c1, s1, c2, s2) in enumerate(pairs):
+            uv1[i] = xy1[c1, s1]
+            uv2[i] = xy2[c2, s2]
+            cam1[i] = c1
+            cam2[i] = c2
+            s1v[i] = sf ** (-2.0 * lv1[c1, s1])
+            s2v[i] = sf ** (-2.0 * lv2[c2, s2])
+        return sim3_opt.Sim3Obs(
+            X1=jnp.asarray(X1), X2=jnp.asarray(X2),
+            uv1=jnp.asarray(uv1), uv2=jnp.asarray(uv2),
+            cam1=jnp.asarray(cam1), cam2=jnp.asarray(cam2),
+            inv_sigma2_1=jnp.asarray(s1v), inv_sigma2_2=jnp.asarray(s2v),
+            valid=jnp.ones(n, bool))
+
+    # ------------------------------------------------------------------
+
+    def _correct_loop(self, kf: int, loop_kf: int, S12: Sim3):
+        """CorrectLoop (:429-595): S12 maps loop-KF-relative geometry into
+        the current KF's frame: x_kf = S12 x_loopkf. Corrected pose of
+        kf: S_kf_world_corrected = S12^-1 applied... we follow the
+        reference's math: Scw_corrected(kf) = S12_cw = S12^{-1} o S_kf?
+        Concretely: the corrected world-to-kf sim3 is
+        S_corr = S12_inv-composed so that kf aligns with loop_kf's map.
+        Then propagate the delta to kf's covisible group and their
+        points, and run the essential-graph optimization."""
+        m = self.map
+        # world->body SE3 (as sim3) for every valid KF
+        kf_ids = m.keyframe_ids().tolist()
+        idx_of = {k: i for i, k in enumerate(kf_ids)}
+        N = len(kf_ids)
+
+        def Siw(k):  # world -> body
+            M = np.asarray(cayley2hom(jnp.asarray(m.kf_pose[k])))
+            return sim3_from_se3(jnp.asarray(np.linalg.inv(M)))
+
+        S_kf = Siw(kf)
+        S_loop = Siw(loop_kf)
+        # corrected world->kf: x_kf = S12 x_loop = S12 S_loop x_world
+        S_corr = S12.compose(S_loop)
+        # delta applied to the current covisible group: S_corr o S_kf^-1
+        delta = S_corr.compose(S_kf.inverse())
+
+        group = set(m.covisible_keyframes(kf)) | {kf}
+        # remap the group's points: x' = S_corr^-1 S_old x  (:490-512)
+        done_pts: set[int] = set()
+        for gkf in group:
+            S_old = Siw(gkf)
+            S_new = delta.compose(S_old)
+            arr = m.kf_pt[gkf]
+            pts = np.unique(arr[arr >= 0])
+            for p in pts:
+                if p in done_pts or not m.pt_valid[p]:
+                    continue
+                done_pts.add(int(p))
+                Xw = jnp.asarray(m.pt_pos[p], jnp.float64)
+                Xb = S_old.apply(Xw)
+                Xw_new = S_new.inverse().apply(Xb)
+                m.pt_pos[p] = np.asarray(Xw_new, np.float32)
+            # corrected pose (SE3 from sim3: divide t by s)
+            M_new_inv = np.asarray(S_new.to_se3())
+            m.kf_pose[gkf] = np.asarray(
+                hom2cayley(jnp.asarray(np.linalg.inv(M_new_inv))))
+
+        # loop edge bookkeeping
+        m.kf_loop_edges[kf].add(loop_kf)
+        m.kf_loop_edges[loop_kf].add(kf)
+
+        # --- essential graph over all KFs ---
+        logs = np.zeros((N, 7))
+        for k, i in idx_of.items():
+            logs[i] = np.asarray(sim3_log(Siw(k)))
+        ei, ej, meas = [], [], []
+
+        def add_edge(a, b):
+            ia, ib = idx_of[a], idx_of[b]
+            Sa = sim3_exp(jnp.asarray(logs[ia]))
+            Sb = sim3_exp(jnp.asarray(logs[ib]))
+            meas.append(np.asarray(sim3_log(Sa.compose(Sb.inverse()))))
+            ei.append(ia)
+            ej.append(ib)
+
+        seen_edges = set()
+        for k in kf_ids:
+            # spanning tree
+            par = int(m.kf_parent[k])
+            if par >= 0 and par in idx_of and (par, k) not in seen_edges:
+                add_edge(par, k)
+                seen_edges.add((par, k))
+                seen_edges.add((k, par))
+            # loop edges
+            for le in m.kf_loop_edges.get(k, ()):
+                if le in idx_of and (le, k) not in seen_edges:
+                    add_edge(le, k)
+                    seen_edges.add((le, k))
+                    seen_edges.add((k, le))
+            # strong covisibility (weight >= 100, :303)
+            w = m.covisibility_weights(k)
+            for ok_, wt in w.items():
+                if wt >= 100 and ok_ in idx_of and (ok_, k) not in seen_edges:
+                    add_edge(ok_, k)
+                    seen_edges.add((ok_, k))
+                    seen_edges.add((k, ok_))
+        if not ei:
+            return
+        fixed = np.zeros(N, bool)
+        fixed[idx_of[loop_kf]] = True
+        graph = sim3_opt.EssentialGraph(
+            edge_i=jnp.asarray(ei, jnp.int32),
+            edge_j=jnp.asarray(ej, jnp.int32),
+            meas=jnp.asarray(np.stack(meas)),
+            valid=jnp.ones(len(ei), bool),
+            fixed=jnp.asarray(fixed))
+        logs_opt = np.asarray(sim3_opt.optimize_essential_graph(
+            jnp.asarray(logs), graph, iters=20))
+
+        # write back: poses + remap all points via S_new^-1 S_old
+        for k, i in idx_of.items():
+            S_old = sim3_exp(jnp.asarray(logs[i]))
+            S_new = sim3_exp(jnp.asarray(logs_opt[i]))
+            M_new_inv = np.asarray(S_new.to_se3())
+            m.kf_pose[k] = np.asarray(
+                hom2cayley(jnp.asarray(np.linalg.inv(M_new_inv))))
+        # points: remap through their reference (first observing) KF
+        for p in m.point_ids():
+            obs = m.pt_obs.get(int(p))
+            if not obs:
+                continue
+            ref_kf = obs[0][0]
+            if ref_kf not in idx_of:
+                continue
+            i = idx_of[ref_kf]
+            S_old = sim3_exp(jnp.asarray(logs[i]))
+            S_new = sim3_exp(jnp.asarray(logs_opt[i]))
+            Xb = S_old.apply(jnp.asarray(m.pt_pos[p], jnp.float64))
+            m.pt_pos[p] = np.asarray(S_new.inverse().apply(Xb), np.float32)
+
+
+def _sim3_chi2(rig: Rig, S: Sim3, obs: sim3_opt.Sim3Obs):
+    """Bidirectional reprojection chi2 for a hypothesis (device)."""
+    Mc_inv = inv_se3(jnp.asarray(rig.M_c))
+    cams = jax.tree.map(jnp.asarray, rig.cams)
+    Si = S.inverse()
+
+    def one(X1, X2, uv1, uv2, c1, c2):
+        x1p = S.apply(X2)
+        T1 = Mc_inv[c1]
+        cam1 = jax.tree.map(lambda a: a[c1], cams)
+        p1 = world_to_img(cam1, T1[:3, :3] @ x1p + T1[:3, 3])
+        x2p = Si.apply(X1)
+        T2 = Mc_inv[c2]
+        cam2 = jax.tree.map(lambda a: a[c2], cams)
+        p2 = world_to_img(cam2, T2[:3, :3] @ x2p + T2[:3, 3])
+        return (jnp.sum((uv1 - p1) ** 2) * 1.0,
+                jnp.sum((uv2 - p2) ** 2) * 1.0)
+
+    c1, c2 = jax.vmap(one)(obs.X1, obs.X2, obs.uv1, obs.uv2,
+                           obs.cam1, obs.cam2)
+    return c1, c2

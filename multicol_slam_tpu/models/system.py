@@ -36,7 +36,9 @@ class MultiColSLAM:
     def __init__(self, calib_dir: str, settings_path: Optional[str] = None,
                  settings: Optional[config_io.SlamSettings] = None,
                  async_mapping: bool = False,
-                 capacity_pts: int = 30000, capacity_kfs: int = 256):
+                 capacity_pts: int = 30000, capacity_kfs: int = 256,
+                 enable_loop_closing: bool = True,
+                 vocabulary_path: Optional[str] = None):
         self.settings = settings or (
             config_io.load_settings(settings_path) if settings_path
             else config_io.SlamSettings())
@@ -84,7 +86,14 @@ class MultiColSLAM:
         self.mapper = LocalMapper(self.rig, self.map, params,
                                   scale_factor=s.scale_factor,
                                   n_levels=s.n_levels)
-        self.loop_closer = None   # wired by loop_closing module when present
+        # loop closing: vocabulary is loaded from ``vocabulary_path`` or
+        # trained lazily from the first keyframe's descriptors (the
+        # reference ships a pre-trained 2MB vocabulary; ours is
+        # self-bootstrapping by default)
+        self.loop_closer = None
+        self._loop_params = params
+        self._enable_loops = enable_loop_closing
+        self._vocabulary_path = vocabulary_path
 
         self.async_mapping = async_mapping
         self._kf_queue: "queue.Queue[int]" = queue.Queue()
@@ -129,10 +138,34 @@ class MultiColSLAM:
 
     # ------------------------------------------------------------------
 
+    def _ensure_loop_closer(self, kf: int):
+        if self.loop_closer is not None or not self._enable_loops:
+            return
+        from .keyframe_database import KeyFrameDatabase
+        from .loop_closing import LoopCloser
+        from . import vocabulary as vocab_mod
+        if self._vocabulary_path:
+            voc = vocab_mod.load_vocabulary(self._vocabulary_path)
+        else:
+            f = self.map.kf_features[kf]
+            desc = np.asarray(f.desc).reshape(-1, f.desc.shape[-1])
+            valid = np.asarray(f.valid).reshape(-1)
+            voc = vocab_mod.train_vocabulary(desc[valid], k=8, levels=3)
+        self.loop_closer = LoopCloser(self.rig, self.map, voc,
+                                      KeyFrameDatabase(), self._loop_params)
+        self.loop_closer.on_loop = self._after_loop
+
+    def _after_loop(self, kf: int, loop_kf: int):
+        # the map moved under the tracker (cLoopClosing calls
+        # ForceRelocalisation on the tracker, cLoopClosing.cpp:575)
+        self.tracker.force_reloc = True
+
     def _process_kf(self, kf: int):
         self.mapper.process_keyframe(kf)
-        if self.loop_closer is not None:
-            self.loop_closer.insert_keyframe(kf)
+        if self._enable_loops:
+            self._ensure_loop_closer(kf)
+            if self.loop_closer is not None:
+                self.loop_closer.insert_keyframe(kf)
 
     def _mapper_loop(self):
         while not self._stop.is_set():

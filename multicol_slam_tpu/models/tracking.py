@@ -357,13 +357,20 @@ class Tracker:
             self.last_feats, self.cur_feats, jnp.asarray(has), self.params,
             window=200.0, nn_ratio=0.9)
         match = np.asarray(match)      # (C, K_last) -> cur slot
+        n = int((match >= 0).sum())
+        if n < 20:
+            # second round with a larger window (the reference's
+            # TrackPreviousFrame retries with widened search,
+            # cTracking.cpp:735-760)
+            match = np.asarray(matcher.window_search(
+                self.last_feats, self.cur_feats, jnp.asarray(has),
+                self.params, window=400.0, nn_ratio=0.95))
+            n = int((match >= 0).sum())
         C, K = match.shape
-        n = 0
         for c in range(C):
             sel = np.nonzero(match[c] >= 0)[0]
             self.cur_pt[c, match[c, sel]] = self.last_pt[c, sel]
-            n += len(sel)
-        if n < 20:
+        if n < 10:
             return False
         return self._optimize_current_pose(self.last_mt,
                                            self.cfg.min_inliers_track)

@@ -51,8 +51,13 @@ def _texture3d(pts: jax.Array, lat: jax.Array) -> jax.Array:
         c1 = c01 * (1 - f[..., 1]) + c11 * f[..., 1]
         return c0 * (1 - f[..., 2]) + c1 * f[..., 2]
 
-    # two octaves: coarse structure + fine corner-rich detail
-    return 0.6 * octave(pts, 11.0) + 0.4 * octave(pts, 53.0)
+    # three octaves: coarse structure + fine corner-rich detail + a
+    # hard quantized layer (strong step edges -> FAST corners that
+    # survive threshold 20 like real indoor texture)
+    fine = octave(pts, 97.0)
+    steps = jnp.where(fine > 130.0, 60.0, -60.0)
+    return jnp.clip(0.45 * octave(pts, 11.0) + 0.35 * octave(pts, 53.0)
+                    + 0.2 * fine + steps * 0.5 + 30.0, 0.0, 255.0)
 
 
 def _ray_box_exit(origin: jax.Array, direction: jax.Array) -> jax.Array:
@@ -72,22 +77,34 @@ def make_renderer(rig: Rig, dtype=jnp.float32):
     """
     h = int(float(rig.cams.height[0]))
     w = int(float(rig.cams.width[0]))
-    uu, vv = jnp.meshgrid(jnp.arange(w, dtype=dtype), jnp.arange(h, dtype=dtype))
-    uv = jnp.stack([uu, vv], -1).reshape(-1, 2)  # (H*W, 2)
-    rays_cam = jax.vmap(lambda c: cam_ops.img_to_world(c, uv))(rig.cams)
+    uu, vv = np.meshgrid(np.arange(w, dtype=np.float64),
+                         np.arange(h, dtype=np.float64))
+    uv = jnp.asarray(np.stack([uu, vv], -1).reshape(-1, 2))
+    # compute per-pixel rays once, then PIN THEM AS NUMPY: a jit closure
+    # must not capture device arrays — embedding them as MLIR constants
+    # forces a device->host fetch at lowering time (pathological over a
+    # remote-TPU tunnel)
+    rays_cam = np.asarray(
+        jax.vmap(lambda c: cam_ops.img_to_world(c, uv))(
+            jax.tree.map(jnp.asarray, rig.cams))).astype(np.float32)
     rays_cam = rays_cam.reshape(rig.n_cams, h, w, 3)
-    lat = jnp.asarray(_lattice())
+    lat = _lattice()
 
     @jax.jit
-    def render(M_t: jax.Array) -> jax.Array:
+    def render_impl(M_t: jax.Array, rays: jax.Array) -> jax.Array:
         T = mt_mc(M_t, rig.M_c)                      # (N,4,4) cam->world
         R = T[:, :3, :3]
         C = T[:, :3, 3]                               # camera centres
-        rays_w = jnp.einsum("nij,nhwj->nhwi", R, rays_cam)
+        rays_w = jnp.einsum("nij,nhwj->nhwi", R, rays)
         t = _ray_box_exit(C[:, None, None, :], rays_w)
         hits = C[:, None, None, :] + t[..., None] * rays_w
-        img = _texture3d(hits, lat)
+        img = _texture3d(hits, jnp.asarray(lat))
         return jnp.clip(img, 0.0, 255.0)
+
+    rays_dev = jax.device_put(rays_cam)
+
+    def render(M_t: jax.Array) -> jax.Array:
+        return render_impl(M_t, rays_dev)
 
     return render
 
