@@ -172,15 +172,20 @@ class MapStore:
     # ------------------------------------------------------------------
 
     def covisibility_weights(self, kf: int) -> dict[int, int]:
-        """#shared map points between ``kf`` and every other keyframe."""
-        pts = self.kf_pt[kf].reshape(-1)
-        pts = pts[pts >= 0]
-        counts: dict[int, int] = defaultdict(int)
-        for p in pts:
-            for okf, _, _ in self.pt_obs.get(int(p), []):
-                if okf != kf:
-                    counts[okf] += 1
-        return dict(counts)
+        """#shared map points between ``kf`` and every other keyframe.
+
+        Runs on the native host runtime (runtime/mapcore.cpp
+        covisibility_counts) over the flat observation table derived
+        from kf_pt; cMultiKeyFrame::UpdateConnections semantics."""
+        from .. import runtime
+        kfm, _, _ = np.nonzero(self.kf_pt >= 0)
+        if len(kfm) == 0:
+            return {}
+        obs_pt = self.kf_pt[self.kf_pt >= 0].astype(np.int32)
+        ids, counts = runtime.covisibility_counts(
+            obs_pt, kfm.astype(np.int32), kf, self.capacity_kfs - 1)
+        return {int(i): int(c) for i, c in zip(ids, counts)
+                if self.kf_valid[i]}
 
     def covisible_keyframes(self, kf: int, min_weight: int = 15,
                             best_n: int | None = None) -> list[int]:
@@ -245,11 +250,9 @@ class MapStore:
                 self.pt_min_dist[p] = min_d * 0.8
                 self.pt_max_dist[p] = max_d * 1.2
             if descs:
+                from .. import runtime
                 D = np.stack(descs)          # (O, W) uint32
-                bits = np.unpackbits(D.view(np.uint8), axis=1)
-                ham = (bits[:, None, :] != bits[None, :, :]).sum(-1)
-                med = np.median(ham, axis=1)
-                best = int(np.argmin(med))
+                best = runtime.distinctive_descriptor(D)
                 self.pt_desc[p] = D[best]
                 f = self.kf_features[obs[best][0]]
                 if f is not None:
