@@ -154,6 +154,21 @@ class MultiColSLAM:
         self.loop_closer = LoopCloser(self.rig, self.map, voc,
                                       KeyFrameDatabase(), self._loop_params)
         self.loop_closer.on_loop = self._after_loop
+        self.tracker.reloc_candidates_fn = self._reloc_candidates
+
+    def _reloc_candidates(self, feats):
+        """BoW relocalization candidates (DetectRelocalisationCandidates,
+        cMultiKeyFrameDatabase.cpp:213-330) from the live inverted file."""
+        from . import vocabulary as vocab_mod
+        import jax.numpy as jnp
+        lc = self.loop_closer
+        if lc is None or not lc.db.kf_bow:
+            return []
+        desc = jnp.reshape(feats.desc, (-1, feats.desc.shape[-1]))
+        valid = jnp.reshape(feats.valid, (-1,))
+        words, _ = vocab_mod.transform_words(lc.voc, desc, valid)
+        bow = vocab_mod.bow_vector(lc.voc, np.asarray(words))
+        return lc.db.detect_reloc_candidates(bow, self.map)
 
     def _after_loop(self, kf: int, loop_kf: int):
         # the map moved under the tracker (cLoopClosing calls

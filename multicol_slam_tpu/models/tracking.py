@@ -162,6 +162,7 @@ class Tracker:
 
         # callbacks wired by the System
         self.on_new_keyframe = None        # fn(kf_id)
+        self.reloc_candidates_fn = None    # fn(Features) -> list[int] (BoW)
         self.force_reloc = False
 
     # ------------------------------------------------------------------
@@ -554,14 +555,24 @@ class Tracker:
     # ------------------------------------------------------------------
 
     def _relocalize(self) -> bool:
-        """Candidate keyframes by descriptor matching; robust pose LM from
-        each candidate's pose (the reference uses BoW + GP3P RANSAC; BoW
-        candidates arrive with the vocabulary module, GP3P with the
-        minimal-solver set — the robust-LM fallback here fills the same
-        contract: recover WORKING from LOST)."""
+        """Relocalization (cTracking.cpp:1125-1312): candidate keyframes
+        via the BoW inverted file when available (DetectRelocalisation-
+        Candidates), else the recent keyframes; descriptor matching
+        against each candidate, then robust pose LM from the candidate's
+        pose (the reference runs GP3P RANSAC + gpnp refine; robust LM
+        from a candidate pose fills the same recover-from-LOST contract
+        and the batched GP3P solver slots in here)."""
         m = self.map
+        cands = None
+        if self.reloc_candidates_fn is not None:
+            try:
+                cands = self.reloc_candidates_fn(self.cur_feats)
+            except Exception:
+                cands = None
+        if not cands:
+            cands = m.keyframe_ids()[-10:].tolist()
         best = None
-        for kf in m.keyframe_ids()[-10:]:
+        for kf in cands:
             f_kf = m.kf_features[kf]
             if f_kf is None:
                 continue
