@@ -58,6 +58,7 @@ class LocalMapper:
         self._update_point_stats_for_kf(kf)
         self._cull_map_points(kf)
         self._create_new_map_points(kf)
+        self._create_cross_camera_points(kf)
         self._fuse_in_neighbors(kf)
         self._local_bundle_adjustment(kf)
         self._cull_keyframes(kf)
@@ -184,6 +185,84 @@ class LocalMapper:
                 for i, p in enumerate(ids):
                     m.add_observation(int(p), kf, c, int(sel[good][i]))
                     m.add_observation(int(p), nkf, c, int(j[good][i]))
+                    self.recent_pts.append((int(p), kf))
+                m.update_point_stats(ids, self._kf_cam_center,
+                                     self.scale_factor, self.n_levels)
+
+    def _create_cross_camera_points(self, kf: int):
+        """Intra-MKF cross-camera triangulation
+        (cORBmatcher::SearchForTriangulationBetweenCameras,
+        cORBmatcher.cpp:1158-1262): match free features between DIFFERENT
+        cameras of the SAME keyframe with the rig-extrinsics epipolar
+        gate and triangulate with the METRIC rig baseline — the
+        observations that anchor absolute scale."""
+        m = self.map
+        f = m.kf_features[kf]
+        if f is None:
+            return
+        M1 = np.asarray(cayley2hom(jnp.asarray(m.kf_pose[kf])))
+        C = m.kf_pt.shape[1]
+        Mc = np.asarray(self.rig.M_c, np.float64)
+
+        def cam_slice(feats, c):
+            return jax.tree.map(lambda a: a[c:c + 1], feats)
+
+        for c1 in range(C):
+            for c2 in range(c1 + 1, C):
+                # relative pose cam2 -> cam1 from extrinsics
+                Trel = np.linalg.inv(Mc[c1]) @ Mc[c2]
+                R12, t12 = Trel[:3, :3], Trel[:3, 3]
+                if np.linalg.norm(t12) < 1e-6:
+                    continue
+                E = np.asarray(essential_from_poses(
+                    jnp.asarray(np.linalg.inv(Mc[c1])),
+                    jnp.asarray(np.linalg.inv(Mc[c2]))))
+                free1 = jnp.asarray(m.kf_pt[kf, c1:c1 + 1] < 0)
+                free2 = jnp.asarray(m.kf_pt[kf, c2:c2 + 1] < 0)
+                match = np.asarray(matcher.search_for_triangulation(
+                    cam_slice(f, c1), free1, cam_slice(f, c2), free2,
+                    jnp.asarray(E[None], jnp.float32), self.params))[0]
+                sel = np.nonzero(match >= 0)[0]
+                if len(sel) == 0:
+                    continue
+                j = match[sel]
+                r1 = np.asarray(f.ray[c1])[sel]
+                r2 = np.asarray(f.ray[c2])[j]
+                X1 = np.asarray(triangulate_midpoint(
+                    jnp.asarray(t12), jnp.asarray(R12),
+                    jnp.asarray(r1), jnp.asarray(r2)))
+                z1 = (X1 * r1).sum(1)
+                X2 = (X1 - t12) @ R12
+                z2 = (X2 * r2).sum(1)
+                from ..ops.camera import world_to_img
+                cam_1 = jax.tree.map(lambda x: x[c1], self.rig.cams)
+                cam_2 = jax.tree.map(lambda x: x[c2], self.rig.cams)
+                uv1 = np.asarray(world_to_img(cam_1, jnp.asarray(X1)))
+                uv2 = np.asarray(world_to_img(cam_2, jnp.asarray(X2)))
+                e1 = np.linalg.norm(uv1 - np.asarray(f.xy[c1])[sel], axis=1)
+                e2 = np.linalg.norm(uv2 - np.asarray(f.xy[c2])[j], axis=1)
+                # parallax over the rig baseline
+                n1 = X1 / np.maximum(
+                    np.linalg.norm(X1, axis=1, keepdims=True), 1e-12)
+                n2v = X1 - t12
+                n2 = n2v / np.maximum(
+                    np.linalg.norm(n2v, axis=1, keepdims=True), 1e-12)
+                cosp = (n1 * n2).sum(1)
+                dist = np.linalg.norm(X1, axis=1)
+                good = ((z1 > 0) & (z2 > 0)
+                        & (cosp < np.cos(np.deg2rad(TRIANG_PARALLAX_DEG)))
+                        & (e1 < TRIANG_REPROJ_TH) & (e2 < TRIANG_REPROJ_TH)
+                        & (dist < TRIANG_MAX_DIST) & np.isfinite(X1).all(1))
+                if not good.any():
+                    continue
+                Tcw = M1 @ Mc[c1]
+                Xw = (X1[good] @ Tcw[:3, :3].T) + Tcw[:3, 3]
+                ids = m.alloc_points(len(Xw))
+                m.pt_pos[ids] = Xw.astype(np.float32)
+                m.pt_first_kf[ids] = kf
+                for i, p in enumerate(ids):
+                    m.add_observation(int(p), kf, c1, int(sel[good][i]))
+                    m.add_observation(int(p), kf, c2, int(j[good][i]))
                     self.recent_pts.append((int(p), kf))
                 m.update_point_stats(ids, self._kf_cam_center,
                                      self.scale_factor, self.n_levels)

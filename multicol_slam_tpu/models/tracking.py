@@ -593,7 +593,35 @@ class Tracker:
             pids = m.kf_pt[kf, c, sel]
             okp = pids >= 0
             self.cur_pt[c, match[c, sel[okp]]] = pids[okp]
-        ok = self._optimize_current_pose(m.kf_pose[kf], 10)
+
+        # GP3P-role absolute pose: batched non-central RANSAC over the
+        # 2D-3D matches (rays in body frame x landmark positions), then
+        # pose-only LM refine (cTracking.cpp:1234-1266 contract)
+        mt_init = m.kf_pose[kf]
+        has = self.cur_pt >= 0
+        cam_idx, slot_idx = np.nonzero(has)
+        pids = self.cur_pt[cam_idx, slot_idx]
+        alive = m.pt_valid[pids]
+        cam_idx, slot_idx, pids = cam_idx[alive], slot_idx[alive], pids[alive]
+        if len(pids) >= 12:
+            from ..ops import ransac as ransac_ops
+            rays = np.asarray(self.cur_feats.ray)[cam_idx, slot_idx]
+            Mc = np.asarray(self.rig.M_c, np.float64)
+            dirs = np.einsum("nij,nj->ni", Mc[cam_idx, :3, :3], rays)
+            origins = Mc[cam_idx, :3, 3]
+            X = m.pt_pos[pids].astype(np.float64)
+            cap = bucket(len(pids), 128)
+            padf = lambda a: np.concatenate(
+                [a, np.zeros((cap - len(a),) + a.shape[1:], a.dtype)], 0)
+            T, inl, n_in = ransac_ops.ransac_gpnp(
+                self._next_key(), jnp.asarray(padf(origins)),
+                jnp.asarray(padf(dirs)), jnp.asarray(padf(X)),
+                jnp.asarray(np.arange(cap) < len(pids)), n_hyps=256)
+            if int(n_in) >= 10:
+                M_body = np.linalg.inv(np.asarray(T))   # body -> world
+                mt_init = np.asarray(hom2cayley(jnp.asarray(M_body)))
+
+        ok = self._optimize_current_pose(mt_init, 10)
         if ok:
             self.last_reloc_frame = self.frame_id
         return ok

@@ -107,6 +107,120 @@ def ransac_essential(key: jax.Array, v1: jax.Array, v2: jax.Array,
     return Es[best], inl[best], scores[best]
 
 
+# ---------------------------------------------------------------------------
+# Non-central absolute pose (relocalization)
+# ---------------------------------------------------------------------------
+
+def gpnp_dlt(origins: jax.Array, dirs: jax.Array, X: jax.Array) -> jax.Array:
+    """Generalized-camera absolute pose from >= 6 ray/point pairs.
+
+    The reference relocalizes with OpenGV's GP3P 3-point minimal solver
+    + gpnp refinement (cTracking.cpp:1234-1266). The octic-polynomial
+    GP3P does not batch well; this DLT fills the same role and
+    vectorizes: for body pose (R, t) mapping world->body, each
+    correspondence constrains (R X + t - o) x d = 0 — linear in the 12
+    entries of [R | t]. Solve by smallest eigenvector of the 12x12
+    normal matrix, then project R onto SO(3) and rescale t.
+
+    origins: (M, 3) ray origins in BODY frame (camera centers Mc[:3,3]);
+    dirs: (M, 3) unit ray directions in BODY frame; X: (M, 3) world
+    points. Returns (4, 4) world->body SE3.
+    """
+    m = X.shape[0]
+    D = skew(dirs)                                 # (M, 3, 3)
+    # rows: D @ (R X + t) = D @ o
+    # unknown u = [r11 r12 r13 r21 ... r33 t1 t2 t3]
+    zeros = jnp.zeros((m, 3, 3), X.dtype)
+    blocks = []
+    for col in range(3):
+        blocks.append(D * X[:, col][:, None, None])  # coefficient of R[:, col]
+    # A_i = [D*X_x | D*X_y | D*X_z | D], b_i = D @ o
+    A = jnp.concatenate([
+        jnp.stack(blocks, 2).reshape(m, 3, 9), D], axis=2)  # (M, 3, 12)
+    b = jnp.einsum("mij,mj->mi", D, origins)       # (M, 3)
+    Af = A.reshape(-1, 12)
+    bf = b.reshape(-1)
+    # least squares via normal equations (12x12)
+    AtA = Af.T @ Af + 1e-9 * jnp.eye(12, dtype=X.dtype)
+    Atb = Af.T @ bf
+    u = jnp.linalg.solve(AtA, Atb)
+    # u stacks R column-wise ([R[:,0], R[:,1], R[:,2]]): un-stack with a
+    # transpose
+    Rm = u[:9].reshape(3, 3).T
+    # project to SO(3), transfer the DLT scale into t
+    U, s, Vt = jnp.linalg.svd(Rm)
+    Rproj = U @ Vt
+    det = jnp.linalg.det(Rproj)
+    Rproj = U @ jnp.diag(jnp.asarray([1.0, 1.0, det], X.dtype)) @ Vt
+    scale = jnp.sum(s) / 3.0 * det
+    t = u[9:12] / jnp.where(jnp.abs(scale) > 1e-9, scale, 1.0)
+    T = jnp.eye(4, dtype=X.dtype)
+    T = T.at[:3, :3].set(Rproj)
+    T = T.at[:3, 3].set(t)
+    return T
+
+
+def _ray_angle_err(T: jax.Array, origins, dirs, X):
+    """1 - cos(angle) between measured rays and predicted directions to
+    the transformed points (OpenGV's reprojection-style score)."""
+    Y = jnp.einsum("ij,nj->ni", T[:3, :3], X) + T[:3, 3]
+    v = Y - origins
+    v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+    return 1.0 - jnp.einsum("ni,ni->n", v, dirs)
+
+
+@functools.partial(jax.jit, static_argnames=("n_hyps", "sample_size"))
+def ransac_gpnp(key: jax.Array, origins: jax.Array, dirs: jax.Array,
+                X: jax.Array, valid: jax.Array, *,
+                threshold: float = 1e-4, n_hyps: int = 256,
+                sample_size: int = 6):
+    """Batched non-central absolute pose RANSAC (the GP3P-RANSAC role,
+    threshold 1e-4 on (1-cos) ray residuals like cTracking.cpp:1256).
+
+    Returns (T_body_from_world (4,4), inlier_mask, n_inliers)."""
+    n = X.shape[0]
+    w = valid.astype(jnp.float32)
+    idx = sample_minimal_sets(key, n_hyps, sample_size, n, w)
+    Ts = jax.vmap(lambda i: gpnp_dlt(origins[i], dirs[i], X[i]))(idx)
+    errs = jax.vmap(lambda T: _ray_angle_err(T, origins, dirs, X))(Ts)
+    inl = (errs < threshold) & valid[None, :]
+    scores = jnp.sum(inl, 1)
+    best = jnp.argmax(scores)
+    # non-minimal refit on the best hypothesis' inliers (gpnp refine)
+    T_ref = _refit(origins, dirs, X, inl[best])
+    err_ref = _ray_angle_err(T_ref, origins, dirs, X)
+    inl_ref = (err_ref < threshold) & valid
+    better = jnp.sum(inl_ref) >= scores[best]
+    T_out = jnp.where(better, T_ref, Ts[best])
+    inl_out = jnp.where(better, inl_ref, inl[best])
+    return T_out, inl_out, jnp.sum(inl_out)
+
+
+def _refit(origins, dirs, X, inlier_mask):
+    """DLT refit using only inliers (rows weighted by the mask)."""
+    w = inlier_mask.astype(X.dtype)[:, None]
+    # weight the constraint rows: scale D rows by mask
+    m = X.shape[0]
+    D = skew(dirs) * w[..., None]
+    blocks = [D * X[:, col][:, None, None] for col in range(3)]
+    A = jnp.concatenate([jnp.stack(blocks, 2).reshape(m, 3, 9), D], axis=2)
+    b = jnp.einsum("mij,mj->mi", D, origins)
+    Af = A.reshape(-1, 12)
+    bf = b.reshape(-1)
+    AtA = Af.T @ Af + 1e-9 * jnp.eye(12, dtype=X.dtype)
+    u = jnp.linalg.solve(AtA, Af.T @ bf)
+    Rm = u[:9].reshape(3, 3).T
+    U, s, Vt = jnp.linalg.svd(Rm)
+    det = jnp.linalg.det(U @ Vt)
+    Rproj = U @ jnp.diag(jnp.asarray([1.0, 1.0, det], X.dtype)) @ Vt
+    scale = jnp.sum(s) / 3.0 * det
+    t = u[9:12] / jnp.where(jnp.abs(scale) > 1e-9, scale, 1.0)
+    T = jnp.eye(4, dtype=X.dtype)
+    T = T.at[:3, :3].set(Rproj)
+    T = T.at[:3, 3].set(t)
+    return T
+
+
 def cheirality_counts(R12s: jax.Array, t12s: jax.Array, v1: jax.Array,
                       v2: jax.Array, valid: jax.Array):
     """For each candidate (R, t): triangulate all pairs, count points in

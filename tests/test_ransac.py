@@ -93,3 +93,61 @@ def test_invalid_points_excluded():
         jnp.asarray(valid))
     assert not np.asarray(inl)[50:].any()
     assert int(n_in) >= 45
+
+
+class TestGPnP:
+    def make_problem(self, rng, rig, n, mt_true, outlier_frac=0.0):
+        import jax.numpy as jnp
+        from multicol_slam_tpu.ops import geometry as geo, rig as rig_ops
+        X = rng.standard_normal((n, 3))
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        X *= rng.uniform(1.5, 5.0, (n, 1))
+        M_t = np.asarray(geo.cayley2hom(jnp.asarray(mt_true)))
+        T = np.linalg.inv(M_t)   # world -> body
+        Y = X @ T[:3, :3].T + T[:3, 3]
+        cams = rng.integers(0, rig.n_cams, n)
+        origins = np.asarray(rig.M_c)[cams, :3, 3]
+        dirs = Y - origins
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        if outlier_frac:
+            nb = int(n * outlier_frac)
+            bad = rng.choice(n, nb, replace=False)
+            rd = rng.standard_normal((nb, 3))
+            dirs[bad] = rd / np.linalg.norm(rd, axis=1, keepdims=True)
+        else:
+            bad = np.array([], int)
+        return origins, dirs, X, bad
+
+    def test_dlt_exact(self):
+        from multicol_slam_tpu.utils import config_io
+        rig, _ = config_io.load_mcs("/root/reference/Examples/Lafida",
+                                    dtype=np.float64)
+        rng = np.random.default_rng(10)
+        mt_true = np.array([0.03, -0.02, 0.05, 0.3, -0.2, 0.4])
+        o, d, X, _ = self.make_problem(rng, rig, 12, mt_true)
+        T = np.asarray(ransac.gpnp_dlt(jnp.asarray(o), jnp.asarray(d),
+                                       jnp.asarray(X)))
+        from multicol_slam_tpu.ops import geometry as geo
+        M_t = np.asarray(geo.cayley2hom(jnp.asarray(mt_true)))
+        np.testing.assert_allclose(T, np.linalg.inv(M_t), atol=1e-8)
+
+    def test_ransac_with_outliers(self):
+        from multicol_slam_tpu.utils import config_io
+        from multicol_slam_tpu.ops import geometry as geo
+        rig, _ = config_io.load_mcs("/root/reference/Examples/Lafida",
+                                    dtype=np.float64)
+        rng = np.random.default_rng(11)
+        mt_true = np.array([0.01, 0.04, -0.03, -0.2, 0.1, 0.25])
+        n = 150
+        o, d, X, bad = self.make_problem(rng, rig, n, mt_true,
+                                         outlier_frac=0.3)
+        T, inl, n_in = ransac.ransac_gpnp(
+            jax.random.PRNGKey(5), jnp.asarray(o), jnp.asarray(d),
+            jnp.asarray(X), jnp.ones(n, bool), n_hyps=512)
+        M_t = np.asarray(geo.cayley2hom(jnp.asarray(mt_true)))
+        np.testing.assert_allclose(np.asarray(T), np.linalg.inv(M_t),
+                                   atol=1e-6)
+        inl = np.asarray(inl)
+        clean = np.setdiff1d(np.arange(n), bad)
+        assert inl[clean].mean() > 0.95
+        assert inl[bad].mean() < 0.05
