@@ -22,6 +22,8 @@ Architecture (TPU-first, not a port):
 
 __version__ = "0.1.0"
 
+import os as _os
+
 import jax as _jax
 
 # SLAM geometry is precision-critical: pose chains, essential-matrix
@@ -31,3 +33,17 @@ import jax as _jax
 # popcount-GEMMs use +-1 bf16 operands whose products are exact at any
 # precision setting, so the hot path keeps full MXU throughput.
 _jax.config.update("jax_default_matmul_precision", "highest")
+
+# A SLAM session jits ~a dozen kernel signatures; persist compiled
+# executables across processes so cold starts pay compile cost once per
+# machine, not once per run (override dir with MCSLAM_COMPILE_CACHE;
+# set it empty to disable).
+_cache = _os.environ.get("MCSLAM_COMPILE_CACHE",
+                         _os.path.expanduser("~/.cache/mcslam_jax"))
+if _cache:
+    try:
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # cache is an optimization, never a failure
+        pass

@@ -53,6 +53,7 @@ class LoopCloser:
     db: KeyFrameDatabase
     params: matcher.MatchParams
     fix_scale: bool = False
+    fuser: object = None          # LocalMapper for post-correction fusing
 
     def __post_init__(self):
         self.last_loop_kf = -MIN_KFS_BETWEEN_LOOPS
@@ -213,10 +214,114 @@ class LoopCloser:
         if int(n_in) < MIN_SIM3_INLIERS:
             return False
 
+        # --- guided SearchBySim3 round (cLoopClosing.cpp:343-364):
+        # project the candidate's landmarks into kf through S12, pick up
+        # extra correspondences, re-optimize ---
+        extra = self._guided_sim3_pairs(kf, cand, S12,
+                                        {(a, b) for a, b, *_ in pairs})
+        if extra:
+            pairs2 = pairs + extra
+            X1b = self._body_frame_points(kf, [p[0] for p in pairs2])
+            X2b = self._body_frame_points(cand, [p[1] for p in pairs2])
+            obs2 = self._make_sim3_obs(kf, cand, pairs2, X1b, X2b)
+            S12b, _, n_in2 = sim3_opt.optimize_sim3(
+                self.rig, S12, obs2, iters=10, fix_scale=self.fix_scale)
+            if int(n_in2) >= int(n_in):
+                S12, n_in = S12b, n_in2
+
+        # --- loop-neighborhood support gate (cLoopClosing.cpp:400-424):
+        # total matches incl. the candidate's covisible neighborhood ---
+        n_total = int(n_in) + self._count_neighborhood_support(kf, cand, S12)
+        if n_total < MIN_TOTAL_MATCHES:
+            return False
+
         self._correct_loop(kf, cand, S12)
         if self.on_loop:
             self.on_loop(kf, cand)
         return True
+
+    def _guided_sim3_pairs(self, kf, cand, S12: Sim3, have):
+        """SearchBySim3: project cand's landmarks (mapped through S12)
+        into kf's cameras; gated NN against slots carrying landmarks."""
+        m = self.map
+        arr = m.kf_pt[cand]
+        cand_pts = np.unique(arr[arr >= 0])
+        cand_pts = cand_pts[m.pt_valid[cand_pts]]
+        if len(cand_pts) == 0:
+            return []
+        # cand-body coords -> kf-body via S12 -> world via kf pose
+        Xc_body = self._body_frame_points(cand, cand_pts)
+        Xk_body = np.asarray(S12.apply(jnp.asarray(Xc_body)))
+        M_kf = np.asarray(cayley2hom(jnp.asarray(m.kf_pose[kf])))
+        Xw = Xk_body @ M_kf[:3, :3].T + M_kf[:3, 3]
+
+        from .tracking import bucket, frustum_check
+        cap = bucket(len(cand_pts), 256)
+        P = len(cand_pts)
+        pad = lambda a, fill=0: np.concatenate(
+            [a, np.full((cap - P,) + a.shape[1:], fill, a.dtype)], 0)
+        uv, ok, lvl, _ = frustum_check(
+            self.rig, jnp.asarray(m.kf_pose[kf]),
+            jnp.asarray(pad(Xw.astype(np.float32))),
+            jnp.asarray(pad(m.pt_normal[cand_pts])),
+            jnp.asarray(pad(m.pt_min_dist[cand_pts] * 0.5)),
+            jnp.asarray(pad(m.pt_max_dist[cand_pts] * 2.0, 1.0)))
+        ok = np.array(ok)
+        ok[:, P:] = False
+        f = m.kf_features[kf]
+        match = np.asarray(matcher.fuse_candidates(
+            f, jnp.asarray(m.kf_pt[kf] >= 0),
+            jnp.asarray(pad(m.pt_desc[cand_pts])),
+            jnp.asarray(pad(m.pt_desc_mask[cand_pts])),
+            uv, jnp.asarray(ok), lvl, self.params, th=7.5))
+        out = []
+        for c in range(match.shape[0]):
+            for i in np.nonzero(match[c, :P] >= 0)[0]:
+                slot = int(match[c, i])
+                p1 = int(m.kf_pt[kf, c, slot])
+                p2 = int(cand_pts[i])
+                if p1 >= 0 and m.pt_valid[p1] and (p1, p2) not in have:
+                    out.append((p1, p2, c, slot, c, slot))
+        return out
+
+    def _count_neighborhood_support(self, kf, cand, S12: Sim3) -> int:
+        """Project landmarks of cand's covisible neighborhood into kf
+        (through S12) and count additional consistent matches."""
+        m = self.map
+        neigh = m.covisible_keyframes(cand, best_n=10)
+        pts = set()
+        for nk in neigh:
+            arr = m.kf_pt[nk]
+            pts.update(int(p) for p in arr[arr >= 0] if m.pt_valid[p])
+        arr = m.kf_pt[cand]
+        pts -= set(int(p) for p in arr[arr >= 0])
+        if not pts:
+            return 0
+        pts = np.asarray(sorted(pts), np.int32)
+        Xc_body = self._body_frame_points(cand, pts)
+        Xk_body = np.asarray(S12.apply(jnp.asarray(Xc_body)))
+        M_kf = np.asarray(cayley2hom(jnp.asarray(m.kf_pose[kf])))
+        Xw = Xk_body @ M_kf[:3, :3].T + M_kf[:3, 3]
+        from .tracking import bucket, frustum_check
+        cap = bucket(len(pts), 256)
+        P = len(pts)
+        pad = lambda a, fill=0: np.concatenate(
+            [a, np.full((cap - P,) + a.shape[1:], fill, a.dtype)], 0)
+        uv, ok, lvl, _ = frustum_check(
+            self.rig, jnp.asarray(m.kf_pose[kf]),
+            jnp.asarray(pad(Xw.astype(np.float32))),
+            jnp.asarray(pad(m.pt_normal[pts])),
+            jnp.asarray(pad(m.pt_min_dist[pts] * 0.5)),
+            jnp.asarray(pad(m.pt_max_dist[pts] * 2.0, 1.0)))
+        ok = np.array(ok)
+        ok[:, P:] = False
+        f = m.kf_features[kf]
+        match = np.asarray(matcher.fuse_candidates(
+            f, jnp.asarray(m.kf_pt[kf] >= 0),
+            jnp.asarray(pad(m.pt_desc[pts])),
+            jnp.asarray(pad(m.pt_desc_mask[pts])),
+            uv, jnp.asarray(ok), lvl, self.params, th=7.5))
+        return int((match[:, :P] >= 0).sum())
 
     def _make_sim3_obs(self, kf1, kf2, pairs, X1, X2) -> sim3_opt.Sim3Obs:
         m = self.map
@@ -368,6 +473,20 @@ class LoopCloser:
             S_new = sim3_exp(jnp.asarray(logs_opt[i]))
             Xb = S_old.apply(jnp.asarray(m.pt_pos[p], jnp.float64))
             m.pt_pos[p] = np.asarray(S_new.inverse().apply(Xb), np.float32)
+
+        # SearchAndFuse (cLoopClosing.cpp:548, :597-610): project the
+        # loop region's landmarks into the corrected covisible group and
+        # merge duplicates
+        if self.fuser is not None:
+            loop_pts = set()
+            for nk in [loop_kf] + m.covisible_keyframes(loop_kf, best_n=10):
+                arr2 = m.kf_pt[nk]
+                loop_pts.update(int(p) for p in arr2[arr2 >= 0]
+                                if m.pt_valid[p])
+            loop_pts = np.asarray(sorted(loop_pts), np.int32)
+            for gkf in group:
+                if m.kf_valid[gkf]:
+                    self.fuser._fuse_points_into_kf(loop_pts, gkf)
 
 
 def _sim3_chi2(rig: Rig, S: Sim3, obs: sim3_opt.Sim3Obs):

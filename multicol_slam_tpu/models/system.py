@@ -152,7 +152,8 @@ class MultiColSLAM:
             valid = np.asarray(f.valid).reshape(-1)
             voc = vocab_mod.train_vocabulary(desc[valid], k=8, levels=3)
         self.loop_closer = LoopCloser(self.rig, self.map, voc,
-                                      KeyFrameDatabase(), self._loop_params)
+                                      KeyFrameDatabase(), self._loop_params,
+                                      fuser=self.mapper)
         self.loop_closer.on_loop = self._after_loop
         self.tracker.reloc_candidates_fn = self._reloc_candidates
 

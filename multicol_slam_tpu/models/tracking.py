@@ -159,6 +159,10 @@ class Tracker:
         self.timestamps: list[float] = []
         self.inlier_ratios: list[float] = []
         self.n_tracked: list[int] = []
+        # per-stage timings (cTracking.h:119-121 timingFeatureExtraction /
+        # timingInitalPoseEst / timingTrackLocalMap)
+        from ..utils.timing import StageTimers
+        self.timers = StageTimers()
 
         # callbacks wired by the System
         self.on_new_keyframe = None        # fn(kf_id)
@@ -177,11 +181,14 @@ class Tracker:
         self.frame_id += 1
         C, K = self.map.kf_pt.shape[1], self.map.kf_pt.shape[2]
 
-        if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED,
-                          TrackState.INITIALIZING):
-            feats = self.extract_init(images)
-        else:
-            feats = self.extract(images)
+        with self.timers.time("feature_extraction"):
+            if self.state in (TrackState.NO_IMAGES_YET,
+                              TrackState.NOT_INITIALIZED,
+                              TrackState.INITIALIZING):
+                feats = self.extract_init(images)
+            else:
+                feats = self.extract(images)
+            jax.block_until_ready(feats.desc)
         self.cur_feats = feats
         self.cur_pt = np.full((C, K), -1, np.int32)
         self.cur_outlier = np.zeros((C, K), bool)
@@ -195,19 +202,21 @@ class Tracker:
             self._try_initialize()
         else:
             ok = False
-            if self.state == TrackState.WORKING and not self.force_reloc:
-                if (self.velocity is not None and self.cfg.use_motion_model
-                        and self.frame_id >= self.last_reloc_frame + 2):
-                    ok = self._track_with_motion_model()
-                if not ok:
-                    ok = self._track_previous_frame()
-            else:
-                ok = self._relocalize()
-                if ok:
-                    self.force_reloc = False
+            with self.timers.time("initial_pose_estimation"):
+                if self.state == TrackState.WORKING and not self.force_reloc:
+                    if (self.velocity is not None and self.cfg.use_motion_model
+                            and self.frame_id >= self.last_reloc_frame + 2):
+                        ok = self._track_with_motion_model()
+                    if not ok:
+                        ok = self._track_previous_frame()
+                else:
+                    ok = self._relocalize()
+                    if ok:
+                        self.force_reloc = False
 
             if ok:
-                ok = self._track_local_map()
+                with self.timers.time("track_local_map"):
+                    ok = self._track_local_map()
 
             if ok:
                 self.state = TrackState.WORKING
