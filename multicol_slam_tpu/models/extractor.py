@@ -40,7 +40,8 @@ class ExtractorConfig(NamedTuple):
     use_dbrief: bool = False       # extractor.usemdBRIEF -> dBRIEF path
     learn_masks: bool = False      # extractor.masks -> mdBRIEF masks
     cell: int = 30                 # FAST fallback cell size
-    border: int = 24               # keypoint-free border (EDGE_THRESHOLD)
+    border: int = 26               # keypoint-free border (EDGE_THRESHOLD;
+    #                                >= descriptor window 23 + blur 2)
 
     @property
     def n_pairs(self) -> int:
@@ -120,49 +121,72 @@ def make_extractor(cfg: ExtractorConfig, cams: CameraModel,
     masks = [np.asarray(m) > 0 for m in mirror_masks]
     assert len(masks) >= cfg.n_levels, "need a mirror mask per pyramid level"
 
+    # Canvas layout: all pyramid levels of one camera stacked vertically
+    # (padded to W0), so orientation + descriptor sampling for ALL
+    # levels run as ONE batched gather pass instead of n_levels small
+    # dispatches. Keypoints sit >= border(24) px inside each level, so
+    # patch windows (<= +-23) never cross a level seam.
+    w0 = sizes[0][1]
+    row_off = []
+    acc = 0
+    for (hl, wl) in sizes:
+        row_off.append(acc)
+        acc += hl
+    canvas_h = acc
+
     def extract_one_cam(images_lvls, masks_lvls, cam: CameraModel):
-        """images_lvls: list of (H_l, W_l) float32 for ONE camera."""
-        outs = []
+        """images_lvls: tuple of (H_l, W_l) float32 for ONE camera."""
+        per_level = []
+        canvas_rows = []
         for lvl in range(cfg.n_levels):
             img = images_lvls[lvl]
+            hl, wl = sizes[lvl]
+            canvas_rows.append(jnp.pad(img, ((0, 0), (0, w0 - wl))))
             k_l = budgets[lvl]
             if k_l == 0:
                 continue
             score = fast.fast_with_fallback(img, cfg.fast_th, cfg.fast_th_min,
                                             cfg.cell)
-            hl, wl = sizes[lvl]
             yx, resp, valid = fast.select_uniform_topk(
                 score, masks_lvls[lvl], k=k_l,
                 bucket=_level_buckets(hl, wl, k_l), border=cfg.border)
-            angle = brief.ic_angle(img, yx)
-            blur = pyramid.box_filter(img)
-            xy_full = (jnp.stack([yx[:, 1], yx[:, 0]], -1).astype(jnp.float32)
-                       * scales[lvl])
-            if cfg.use_dbrief:
-                undist = undistort_points(cam, xy_full, cam.p1)
-                if cfg.learn_masks:
-                    desc, dmask = brief.compute_mdbrief(
-                        blur, yx, angle, undist, cam, pattern)
-                else:
-                    desc = brief.compute_dbrief(
-                        blur, yx, angle, undist, cam, pattern)
-                    dmask = jnp.full_like(desc, 0xFFFFFFFF)
+            per_level.append((lvl, yx, resp, valid))
+        canvas = jnp.concatenate(canvas_rows, 0)          # (canvas_h, w0)
+
+        # flatten all levels' keypoints into canvas coordinates
+        yx_canvas = jnp.concatenate(
+            [yx + jnp.asarray([row_off[lvl], 0], jnp.int32)
+             for lvl, yx, _, _ in per_level], 0)           # (K, 2)
+        resp = jnp.concatenate([r for _, _, r, _ in per_level], 0)
+        valid = jnp.concatenate([v for _, _, _, v in per_level], 0)
+        level = jnp.concatenate(
+            [jnp.full((yx.shape[0],), lvl, jnp.int32)
+             for lvl, yx, _, _ in per_level], 0)
+        scale_per_kp = jnp.asarray(scales, jnp.float32)[level]
+        xy_lvl = jnp.stack([yx_canvas[:, 1],
+                            yx_canvas[:, 0]
+                            - jnp.asarray(row_off, jnp.int32)[level]], -1)
+        xy_full = xy_lvl.astype(jnp.float32) * scale_per_kp[:, None]
+
+        # one pass each: orientation on the raw canvas, descriptors on
+        # the blurred canvas
+        angle = brief.ic_angle(canvas, yx_canvas)
+        blur = pyramid.box_filter(canvas)
+        if cfg.use_dbrief:
+            undist = undistort_points(cam, xy_full, cam.p1)
+            if cfg.learn_masks:
+                desc, dmask = brief.compute_mdbrief(
+                    blur, yx_canvas, angle, undist, cam, pattern)
             else:
-                desc = brief.compute_orb(blur, yx, angle, pattern)
+                desc = brief.compute_dbrief(
+                    blur, yx_canvas, angle, undist, cam, pattern)
                 dmask = jnp.full_like(desc, 0xFFFFFFFF)
-            ray = img_to_world(cam, xy_full)
-            outs.append(dict(
-                xy=xy_full,
-                level=jnp.full((k_l,), lvl, jnp.int32),
-                angle=angle,
-                response=resp,
-                ray=ray,
-                desc=desc,
-                desc_mask=dmask,
-                valid=valid,
-            ))
-        cat = {k: jnp.concatenate([o[k] for o in outs], 0) for k in outs[0]}
-        return Features(**cat)
+        else:
+            desc = brief.compute_orb(blur, yx_canvas, angle, pattern)
+            dmask = jnp.full_like(desc, 0xFFFFFFFF)
+        ray = img_to_world(cam, xy_full)
+        return Features(xy=xy_full, level=level, angle=angle, response=resp,
+                        ray=ray, desc=desc, desc_mask=dmask, valid=valid)
 
     @jax.jit
     def extract(images: jax.Array) -> Features:

@@ -113,18 +113,36 @@ def ic_angle(img: jax.Array, yx: jax.Array) -> jax.Array:
 # Descriptor sampling core
 # ---------------------------------------------------------------------------
 
+def _sample_patch_values(patches: jax.Array, offsets: jax.Array) -> jax.Array:
+    """Per-keypoint pattern sampling as separable one-hot matmuls.
+
+    patches: (K, P, P); offsets: (K, S, 2) int32 (dy, dx) relative to the
+    patch centre. Returns (K, S) sampled values.
+
+    TPU note: a fused double-gather (patch extraction + per-keypoint
+    element gather) lowers to the scalar-gather path (~10 ms for 1.2M
+    samples); expressing the row/column selection as one-hot bf16
+    matmuls runs on the MXU instead (~4x faster end to end). Patch
+    values <= 255 are exact in bf16; sub-integer blur residue only
+    perturbs comparisons of near-equal pixels.
+    """
+    k, p, _ = patches.shape
+    off = jnp.clip(offsets, -PATCH_R + 1, PATCH_R - 1)
+    ks = jnp.arange(p)
+    oh_y = (off[..., 0:1] + p // 2 == ks[None, None, :]).astype(jnp.bfloat16)
+    oh_x = (off[..., 1:2] + p // 2 == ks[None, None, :]).astype(jnp.bfloat16)
+    rows = jnp.einsum("kbr,krc->kbc", oh_y, patches.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)   # (K, S, P)
+    return jnp.einsum("kbc,kbc->kb", oh_x.astype(jnp.float32), rows)
+
+
 def _sample_and_pack(patches: jax.Array, offsets: jax.Array) -> jax.Array:
     """patches: (K, P, P); offsets: (K, 2B, 2) int32 (dy, dx) pattern
     offsets relative to patch centre. Returns packed (K, B//32) uint32
     with bit b = I(p0_b) < I(p1_b) (LSB-first, reference byte layout).
     """
-    k, p, _ = patches.shape
-    off = jnp.clip(offsets, -PATCH_R + 1, PATCH_R - 1)
-    lin = (off[..., 0] + p // 2) * p + (off[..., 1] + p // 2)  # (K, 2B)
-    vals = jnp.take_along_axis(patches.reshape(k, p * p), lin, axis=1)  # (K, 2B)
-    t0 = vals[:, 0::2]
-    t1 = vals[:, 1::2]
-    bits = (t0 < t1)
+    vals = _sample_patch_values(patches, offsets)           # (K, 2B)
+    bits = vals[:, 0::2] < vals[:, 1::2]
     return pack_bits_u32(bits)
 
 
@@ -192,14 +210,10 @@ def compute_mdbrief(img_blur: jax.Array, yx: jax.Array, angle: jax.Array,
     """
     rot = jnp.float32(np.deg2rad(20.0))
     patches = extract_patches(img_blur, yx, PATCH_R)
-    k, p, _ = patches.shape
-    flat = patches.reshape(k, p * p)
 
     def bits_at(a):
-        off = jnp.clip(distorted_pattern_offsets(cam, undist_kp, pattern, a),
-                       -PATCH_R + 1, PATCH_R - 1)
-        lin = (off[..., 0] + p // 2) * p + (off[..., 1] + p // 2)
-        vals = jnp.take_along_axis(flat, lin, axis=1)
+        off = distorted_pattern_offsets(cam, undist_kp, pattern, a)
+        vals = _sample_patch_values(patches, off)
         return vals[:, 0::2] < vals[:, 1::2]
 
     b0 = bits_at(angle)

@@ -32,23 +32,22 @@ CIRCLE = np.array([
 BORDER = 3  # circle radius
 
 
-def _shifted_ring(img: jax.Array) -> jax.Array:
-    """(H, W) -> (16, H, W): the 16 ring neighbours of every pixel.
-    Implemented as static slices of a padded image - no gathers."""
+def _shifted_views(img: jax.Array) -> list[jax.Array]:
+    """The 16 ring neighbours of every pixel as a PYTHON LIST of (H, W)
+    static slices — keeping them unstacked lets XLA fuse the whole
+    score computation into one pointwise pass with no (16, H, W)
+    intermediates in HBM (a stacked version is ~4x slower)."""
     h, w = img.shape
     pad = jnp.pad(img, BORDER, mode="edge")
-    views = [pad[3 + dy: 3 + dy + h, 3 + dx: 3 + dx + w] for dy, dx in CIRCLE]
-    return jnp.stack(views, 0)
+    return [pad[3 + dy: 3 + dy + h, 3 + dx: 3 + dx + w] for dy, dx in CIRCLE]
 
 
-def _ring_min9(x: jax.Array) -> jax.Array:
-    """Min over all 9-long contiguous arcs of the 16-ring, per pixel.
-    x: (16, H, W) -> (16, H, W) where out[k] = min(x[k..k+8] mod 16).
-    log-step rolls: window 2 -> 4 -> 8 -> 9."""
-    m2 = jnp.minimum(x, jnp.roll(x, -1, 0))
-    m4 = jnp.minimum(m2, jnp.roll(m2, -2, 0))
-    m8 = jnp.minimum(m4, jnp.roll(m4, -4, 0))
-    return jnp.minimum(m8, jnp.roll(x, -8, 0))
+def _ring_min9_list(x: list[jax.Array]) -> list[jax.Array]:
+    """out[k] = min(x[k..k+8] mod 16), via log-step list rotations."""
+    m2 = [jnp.minimum(x[k], x[(k + 1) % 16]) for k in range(16)]
+    m4 = [jnp.minimum(m2[k], m2[(k + 2) % 16]) for k in range(16)]
+    m8 = [jnp.minimum(m4[k], m4[(k + 4) % 16]) for k in range(16)]
+    return [jnp.minimum(m8[k], x[(k + 8) % 16]) for k in range(16)]
 
 
 def fast_score(img: jax.Array, threshold: float) -> jax.Array:
@@ -58,10 +57,11 @@ def fast_score(img: jax.Array, threshold: float) -> jax.Array:
     minus 1 (cv::FAST cornerScore semantics): the largest threshold at
     which the pixel remains a corner.
     """
-    ring = _shifted_ring(img)          # (16, H, W)
-    d = ring - img[None]               # signed differences
-    bright = jnp.max(_ring_min9(d), 0)         # best bright-arc strength
-    dark = jnp.max(_ring_min9(-d), 0)          # best dark-arc strength
+    views = _shifted_views(img)
+    d = [v - img for v in views]
+    dn = [-v for v in d]
+    bright = functools.reduce(jnp.maximum, _ring_min9_list(d))
+    dark = functools.reduce(jnp.maximum, _ring_min9_list(dn))
     score = jnp.maximum(bright, dark) - 1.0
     return jnp.where(score >= threshold, score, 0.0)
 
