@@ -183,8 +183,17 @@ def bundle_adjustment(rig: Rig, mt_min0: jax.Array, X0: jax.Array,
     fixed-KF set in the local variant).
 
     Returns (mt_min (N,6), X (P,3), per-obs chi2 (K+1,)).
-    free_mc is reserved for self-calibration (extrinsics columns).
+
+    free_mc=True additionally optimizes the rig extrinsics M_c — the
+    self-calibrating MultiCol BA (the reference's hyper-graph carries
+    VertexMc_cayley for exactly this, g2o_MultiCol_vertices_edges.h:
+    83-145, held fixed in normal operation): see
+    ``self_calibrating_bundle_adjustment``.
     """
+    if free_mc:
+        mt, X, mc, chi2 = self_calibrating_bundle_adjustment(
+            rig, mt_min0, X0, problem, huber=huber, iters=iters)
+        return mt, X, chi2
     obs, pt_obs = problem.obs, problem.pt_obs
     mc_min = rig.M_c_min
     N = mt_min0.shape[0]
@@ -307,3 +316,140 @@ def bundle_adjustment(rig: Rig, mt_min0: jax.Array, X0: jax.Array,
                                     (mt_min0, X0, jnp.float32(1e-4), cost0))
     _, chi2 = cost_of(mt, X)
     return mt, X, chi2
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def self_calibrating_bundle_adjustment(rig: Rig, mt_min0: jax.Array,
+                                       X0: jax.Array, problem: BAProblem, *,
+                                       huber: float = HUBER_GLOBAL,
+                                       iters: int = 10):
+    """MultiCol BA with FREE rig extrinsics: jointly optimizes body
+    poses (N, 6), points (P, 3) and extrinsics M_c (C, 6).
+
+    The camera vertices join the reduced camera system as additional
+    6-dof blocks (vertex ids N..N+C-1); every observation couples its
+    keyframe AND its camera, so the Schur complement gains kf<->cam
+    off-diagonal blocks. Gauge: camera 0's extrinsics stay fixed (plus
+    whatever fixed_kf the problem sets).
+
+    Returns (mt (N,6), X (P,3), mc (C,6), chi2 (K,)).
+    """
+    obs, pt_obs = problem.obs, problem.pt_obs
+    N = mt_min0.shape[0]
+    P = X0.shape[0]
+    K = obs.uv.shape[0]
+    C = rig.M_c.shape[0]
+    NV = N + C
+    mc_min0 = jnp.asarray(rig.M_c_min)
+    fixed_vert = jnp.concatenate(
+        [problem.fixed_kf, jnp.zeros(C, bool).at[0].set(True)], 0)
+
+    def one_residual(mt_all, mc_all, X_all, i):
+        o_kf, o_cam, o_pt = obs.kf[i], obs.cam[i], obs.pt[i]
+        cam = _gather_cam(rig.cams, o_cam)
+        return _project_residual(mt_all[o_kf], mc_all[o_cam], X_all[o_pt],
+                                 cam, obs.uv[i])
+
+    def all_residuals(mt_all, mc_all, X_all):
+        return jax.vmap(lambda i: one_residual(mt_all, mc_all, X_all, i))(
+            jnp.arange(K))
+
+    def cost_of(mt_all, mc_all, X_all):
+        r = all_residuals(mt_all, mc_all, X_all)
+        chi2 = jnp.sum(r * r, -1) * obs.inv_sigma2
+        delta2 = huber * huber
+        rho = jnp.where(jnp.sqrt(chi2) <= huber, chi2,
+                        2 * huber * jnp.sqrt(chi2) - delta2)
+        return jnp.sum(jnp.where(obs.valid, rho, 0.0)), chi2
+
+    def schur_step(mt_all, mc_all, X_all, lam):
+        from ..ops.geometry import inv3x3
+
+        r = all_residuals(mt_all, mc_all, X_all)
+        chi2 = jnp.sum(r * r, -1) * obs.inv_sigma2
+        w = _huber_w(chi2, huber) * obs.inv_sigma2
+        w = jnp.where(obs.valid, w, 0.0)
+
+        def jac_one(i):
+            o_kf, o_cam, o_pt = obs.kf[i], obs.cam[i], obs.pt[i]
+            cam = _gather_cam(rig.cams, o_cam)
+            f = lambda mt, mc, X: _project_residual(mt, mc, X, cam, obs.uv[i])
+            Jp = jax.jacfwd(f, 0)(mt_all[o_kf], mc_all[o_cam], X_all[o_pt])
+            Jm = jax.jacfwd(f, 1)(mt_all[o_kf], mc_all[o_cam], X_all[o_pt])
+            Jx = jax.jacfwd(f, 2)(mt_all[o_kf], mc_all[o_cam], X_all[o_pt])
+            return Jp, Jm, Jx
+
+        Jp, Jm, Jx = jax.vmap(jac_one)(jnp.arange(K))
+        vert_p = obs.kf                    # (K,)
+        vert_m = N + obs.cam
+        Jp = jnp.where(fixed_vert[vert_p][:, None, None], 0.0, Jp)
+        Jm = jnp.where(fixed_vert[vert_m][:, None, None], 0.0, Jm)
+        Jx = jnp.where(problem.fixed_pt[obs.pt][:, None, None], 0.0, Jx)
+        wJp = Jp * w[:, None, None]
+        wJm = Jm * w[:, None, None]
+        wJx = Jx * w[:, None, None]
+
+        # vertex blocks (NV,6,6): diagonal + kf<->cam coupling
+        H = jnp.zeros((NV, NV, 6, 6))
+        H = H.at[vert_p, vert_p].add(jnp.einsum("kri,krj->kij", wJp, Jp))
+        H = H.at[vert_m, vert_m].add(jnp.einsum("kri,krj->kij", wJm, Jm))
+        Hpm = jnp.einsum("kri,krj->kij", wJp, Jm)
+        H = H.at[vert_p, vert_m].add(Hpm)
+        H = H.at[vert_m, vert_p].add(jnp.swapaxes(Hpm, -1, -2))
+        g = jnp.zeros((NV, 6))
+        g = g.at[vert_p].add(jnp.einsum("kri,kr->ki", wJp, r))
+        g = g.at[vert_m].add(jnp.einsum("kri,kr->ki", wJm, r))
+
+        Hxx = jax.ops.segment_sum(jnp.einsum("kri,krj->kij", wJx, Jx),
+                                  obs.pt, P)
+        gx = jax.ops.segment_sum(jnp.einsum("kri,kr->ki", wJx, r), obs.pt, P)
+        Ep = jnp.einsum("kri,krj->kij", wJp, Jx)   # (K,6,3) kf-point
+        Em = jnp.einsum("kri,krj->kij", wJm, Jx)   # (K,6,3) cam-point
+
+        Ci = inv3x3(Hxx + lam * jnp.eye(3)[None] + jnp.eye(3)[None] * 1e-12)
+        Ci = jnp.where(problem.fixed_pt[:, None, None], 0.0, Ci)
+
+        # per-point gathered E rows for BOTH vertex kinds: (P, 2M, 6, 3)
+        Epad = jnp.concatenate([Ep[pt_obs], Em[pt_obs]], 1)
+        vpad = jnp.concatenate([vert_p[pt_obs], vert_m[pt_obs]], 1)
+        ok_pad = jnp.concatenate([obs.valid[pt_obs]] * 2, 1)
+        Epad = jnp.where(ok_pad[..., None, None], Epad, 0.0)
+        T = jnp.einsum("pmij,pjk->pmik", Epad, Ci)
+        contrib = jnp.einsum("pmik,pnjk->pmnij", T, Epad)
+        S = jnp.zeros((NV, NV, 6, 6))
+        S = S.at[vpad[:, :, None], vpad[:, None, :]].add(contrib)
+        Sd = -S + H
+        Sd = Sd.at[jnp.arange(NV), jnp.arange(NV)].add(lam * jnp.eye(6)[None])
+        Tg = jnp.einsum("pmik,pk->pmi", T, gx)
+        g_red = g - jnp.zeros((NV, 6)).at[vpad.reshape(-1)].add(
+            Tg.reshape(-1, 6))
+
+        Smat = Sd.transpose(0, 2, 1, 3).reshape(6 * NV, 6 * NV)
+        gvec = g_red.reshape(6 * NV)
+        fixed6 = jnp.repeat(fixed_vert, 6)
+        Smat = jnp.where(fixed6[:, None] | fixed6[None, :],
+                         jnp.eye(6 * NV, dtype=Smat.dtype), Smat)
+        gvec = jnp.where(fixed6, 0.0, gvec)
+        d = jnp.linalg.solve(Smat, gvec).reshape(NV, 6)
+        dp, dm = d[:N], d[N:]
+
+        Etdp = jnp.einsum("pmij,pmi->pmj", Epad, d[vpad])
+        dx = jnp.einsum("pij,pj->pi", Ci, gx - jnp.sum(Etdp, 1))
+        return mt_all - dp, mc_all - dm, X_all - dx
+
+    cost0, _ = cost_of(mt_min0, mc_min0, X0)
+
+    def body(_, state):
+        mt, mc, X, lam, cost = state
+        mt_n, mc_n, X_n = schur_step(mt, mc, X, lam)
+        cost_n, _ = cost_of(mt_n, mc_n, X_n)
+        accept = cost_n < cost
+        sel = lambda a, b: jnp.where(accept, b, a)
+        return (sel(mt, mt_n), sel(mc, mc_n), sel(X, X_n),
+                jnp.where(accept, lam * 0.5, lam * 4.0),
+                jnp.where(accept, cost_n, cost))
+
+    mt, mc, X, _, _ = jax.lax.fori_loop(
+        0, iters, body, (mt_min0, mc_min0, X0, jnp.float32(1e-4), cost0))
+    _, chi2 = cost_of(mt, mc, X)
+    return mt, X, mc, chi2

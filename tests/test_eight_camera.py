@@ -1,0 +1,110 @@
+"""8-camera surround-rig stretch config (BASELINE.json configs[4]):
+the framework must be camera-count agnostic — build a synthetic
+8-fisheye ring rig from the real Lafida intrinsics and run extraction,
+projection, matching and pose optimization through it."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multicol_slam_tpu.models import extractor as ext
+from multicol_slam_tpu.models import matcher, optimizer as opt
+from multicol_slam_tpu.ops import geometry as geo, rig as rig_ops
+from multicol_slam_tpu.ops.camera import make_extraction_masks, stack_cameras
+from multicol_slam_tpu.utils import config_io, synthetic
+
+CALIB_DIR = "/root/reference/Examples/Lafida"
+N_CAMS = 8
+
+
+@pytest.fixture(scope="module")
+def ring_rig():
+    """8 cameras on a 30cm ring, yawed 45deg apart, Lafida-0 intrinsics."""
+    base, _ = config_io.load_mcs(CALIB_DIR, dtype=np.float32)
+    cam0 = jax.tree.map(lambda x: x[0], base.cams)
+    cams = stack_cameras([cam0] * N_CAMS)
+    mc = np.zeros((N_CAMS, 6))
+    for c in range(N_CAMS):
+        ang = 2 * np.pi * c / N_CAMS
+        # cayley for yaw: tan(ang/2) about y
+        mc[c, 1] = np.tan(ang / 2.0)
+        mc[c, 3] = 0.3 * np.sin(ang)
+        mc[c, 5] = 0.3 * np.cos(ang)
+    return rig_ops.rig_from_cayley(mc.astype(np.float32), cams)
+
+
+def test_rig_projection_roundtrip(ring_rig):
+    rig = ring_rig
+    assert rig.n_cams == N_CAMS
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((64, 3)).astype(np.float32) * 3
+    uv, ok = rig_ops.world_to_img_rig(rig, jnp.eye(4), jnp.asarray(X))
+    assert uv.shape == (N_CAMS, 64, 2)
+    # a surround ring must see (almost) every direction: each point
+    # should be in front of at least one camera
+    assert np.asarray(ok).any(0).mean() > 0.9
+
+
+def test_extraction_and_tracking_8cam(ring_rig):
+    rig = ring_rig
+    render = synthetic.make_renderer(rig)
+    imgs0 = render(jnp.eye(4))
+    assert imgs0.shape == (N_CAMS, 480, 754)
+
+    cam0u0 = float(rig.cams.u0[0])
+    cam0v0 = float(rig.cams.v0[0])
+    masks = [np.stack([make_extraction_masks(cam0u0, cam0v0, 754, 480,
+                                             3, 1.2)[l]] * N_CAMS)
+             for l in range(3)]
+    cfg = ext.ExtractorConfig(n_features=120, n_levels=3)
+    extract = ext.make_extractor(cfg, rig.cams, masks, (480, 754))
+    f0 = extract(imgs0)
+    assert f0.xy.shape == (N_CAMS, 120, 2)
+    assert int(f0.valid.sum()) > N_CAMS * 60
+
+    # move slightly, extract, match frame-to-frame against projected
+    # ground-truth wall points, optimize the pose
+    gt1 = np.eye(4)
+    gt1[:3, 3] = [0.04, 0.01, 0.02]
+    f1 = extract(render(jnp.asarray(gt1, jnp.float32)))
+
+    T = rig_ops.mt_mc(jnp.eye(4), rig.M_c)
+    rays_w = jnp.einsum("nij,nkj->nki", T[:, :3, :3], f0.ray)
+    t = synthetic._ray_box_exit(T[:, None, :3, 3], rays_w)
+    pts = T[:, None, :3, 3] + t[..., None] * rays_w     # (C, K, 3)
+
+    uv_pred, okz = rig_ops.world_to_img_rig(
+        rig, jnp.eye(4), pts.reshape(-1, 3))
+    # per-slot same-camera projection
+    from multicol_slam_tpu.models.tracking import project_slots
+    uv_pred, ok = project_slots(rig, jnp.zeros(6), pts)
+    params = matcher.MatchParams(desc_bytes=32)
+    m = matcher.match_frame_to_frame(
+        f1, f0, f0.valid, jnp.zeros_like(f1.valid), uv_pred, ok,
+        params, th=15.0)
+    m = np.asarray(m)
+    n_match = int((m >= 0).sum())
+    assert n_match > N_CAMS * 25, f"only {n_match} matches on the ring rig"
+
+    # pose optimization over the matches
+    obs_uv, obs_cam, X_list = [], [], []
+    pts_np = np.asarray(pts)
+    xy1 = np.asarray(f1.xy)
+    for c in range(N_CAMS):
+        for i in np.nonzero(m[c] >= 0)[0]:
+            obs_uv.append(xy1[c, m[c, i]])
+            obs_cam.append(c)
+            X_list.append(pts_np[c, i])
+    K = len(obs_uv)
+    obs = opt.BAObservations(
+        uv=jnp.asarray(np.asarray(obs_uv)), kf=jnp.zeros(K, jnp.int32),
+        cam=jnp.asarray(np.asarray(obs_cam, np.int32)),
+        pt=jnp.arange(K, dtype=jnp.int32),
+        inv_sigma2=jnp.ones(K), valid=jnp.ones(K, bool))
+    mt, inl, n_in = opt.pose_optimization(
+        rig, jnp.zeros(6, jnp.float64), obs,
+        jnp.asarray(np.asarray(X_list)))
+    M_est = np.asarray(geo.cayley2hom(mt))
+    np.testing.assert_allclose(M_est[:3, 3], gt1[:3, 3], atol=0.01)
+    assert int(n_in) > 0.6 * K

@@ -224,3 +224,57 @@ class TestBundleAdjustment:
             rig, jnp.asarray(mt0), jnp.asarray(X0), problem, iters=12)
         v = np.asarray(obs.valid)
         assert np.asarray(chi2_n)[v].sum() < np.asarray(chi2_0)[v].sum()
+
+
+class TestSelfCalibration:
+    def test_recovers_perturbed_extrinsics(self, rig):
+        """Self-calibrating BA: perturb one camera's extrinsics, observe
+        enough structure, recover the true extrinsics."""
+        rng = np.random.default_rng(7)
+        P = 150
+        X = gen_world_points(rng, P)
+        mt_all = np.stack([
+            np.zeros(6),
+            np.array([0.02, 0.01, -0.01, 0.3, 0.05, 0.1]),
+            np.array([-0.01, 0.03, 0.02, 0.5, -0.1, 0.3]),
+            np.array([0.03, -0.02, 0.01, 0.2, 0.3, -0.2]),
+        ])
+        obs, pt_obs = build_ba_problem(rig, mt_all, X, rng)
+        problem = opt.BAProblem(
+            obs=obs, pt_obs=pt_obs,
+            fixed_kf=jnp.asarray([True, True, False, False]),
+            fixed_pt=jnp.zeros(P, bool))
+
+        # perturb cam 1 and 2 extrinsics in the rig handed to the solver
+        import jax
+        from multicol_slam_tpu.ops.rig import Rig, rig_from_cayley
+        mc_true = np.asarray(rig.M_c_min)
+        mc_pert = mc_true.copy()
+        mc_pert[1] += np.array([0.002, -0.002, 0.002, 0.004, -0.004, 0.004])
+        mc_pert[2] += np.array([-0.002, 0.002, 0.001, -0.004, 0.004, 0.002])
+        rig_pert = rig_from_cayley(mc_pert, rig.cams)
+
+        mt, Xr, mc, chi2 = opt.self_calibrating_bundle_adjustment(
+            rig_pert, jnp.asarray(mt_all), jnp.asarray(X), problem, iters=12)
+        mc = np.asarray(mc)
+        # cam 0 anchored
+        np.testing.assert_allclose(mc[0], mc_pert[0], atol=0)
+        # perturbed cams pulled back to the truth
+        np.testing.assert_allclose(mc[1], mc_true[1], atol=5e-4)
+        np.testing.assert_allclose(mc[2], mc_true[2], atol=5e-4)
+
+    def test_free_mc_flag_routes(self, rig):
+        rng = np.random.default_rng(8)
+        P = 60
+        X = gen_world_points(rng, P)
+        mt_all = np.stack([np.zeros(6),
+                           np.array([0.0, 0.02, 0.0, 0.4, 0.0, 0.2])])
+        obs, pt_obs = build_ba_problem(rig, mt_all, X, rng, noise=0.3)
+        problem = opt.BAProblem(
+            obs=obs, pt_obs=pt_obs,
+            fixed_kf=jnp.asarray([True, False]),
+            fixed_pt=jnp.zeros(P, bool))
+        mt, Xr, chi2 = opt.bundle_adjustment(
+            rig, jnp.asarray(mt_all), jnp.asarray(X), problem, iters=3,
+            free_mc=True)
+        assert mt.shape == (2, 6) and Xr.shape == (P, 3)
