@@ -42,6 +42,9 @@ class ExtractorConfig(NamedTuple):
     cell: int = 30                 # FAST fallback cell size
     border: int = 26               # keypoint-free border (EDGE_THRESHOLD;
     #                                >= descriptor window 23 + blur 2)
+    detector_mask: str = "fast_9_16"  # fast_9_16 | agast_7_12 | agast_5_8
+    #                                   (extractor.useAgast/fastAgastType)
+    use_harris: bool = False       # extractor.nScoreType 0 -> Harris rank
 
     @property
     def n_pairs(self) -> int:
@@ -146,7 +149,12 @@ def make_extractor(cfg: ExtractorConfig, cams: CameraModel,
             if k_l == 0:
                 continue
             score = fast.fast_with_fallback(img, cfg.fast_th, cfg.fast_th_min,
-                                            cfg.cell)
+                                            cfg.cell, cfg.detector_mask)
+            if cfg.use_harris:
+                # rank corners by Harris response (nScoreType 0; ORB's
+                # HarrisResponses re-scoring)
+                score = jnp.where(score > 0, fast.harris_score(img) + 1e-6,
+                                  0.0)
             yx, resp, valid = fast.select_uniform_topk(
                 score, masks_lvls[lvl], k=k_l,
                 bucket=_level_buckets(hl, wl, k_l), border=cfg.border)

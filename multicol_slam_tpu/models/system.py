@@ -56,11 +56,19 @@ class MultiColSLAM:
                 w, h, s.n_levels, s.scale_factor))
         masks_lvl = [np.stack([m[l] for m in masks]) for l in range(s.n_levels)]
 
+        # extractor.useAgast + fastAgastType -> detector mask
+        # (cv::AgastFeatureDetector types 0..3; 3 = OAST_9_16 ~ FAST)
+        if s.use_agast:
+            mask = {0: "agast_5_8", 1: "agast_7_12", 2: "agast_7_12",
+                    3: "fast_9_16"}.get(s.fast_agast_type, "fast_9_16")
+        else:
+            mask = "fast_9_16"
         ecfg = ExtractorConfig(
             n_features=s.n_features, scale_factor=s.scale_factor,
             n_levels=s.n_levels, fast_th=s.fast_th,
             desc_bytes=s.desc_size, use_dbrief=s.use_mdbrief,
-            learn_masks=s.learn_masks)
+            learn_masks=s.learn_masks, detector_mask=mask,
+            use_harris=s.score_harris)
         self.extract = make_extractor(ecfg, self.rig.cams, masks_lvl, (h, w))
         # init extractor: 2x features, FAST threshold 5 (cTracking.cpp:206-235)
         ecfg_init = ecfg._replace(n_features=2 * s.n_features, fast_th=5)
@@ -189,7 +197,13 @@ class MultiColSLAM:
                 kf = self._kf_queue.get(timeout=0.1)
             except queue.Empty:
                 continue
-            self._process_kf(kf)
+            if kf is None:    # shutdown sentinel
+                break
+            try:
+                self._process_kf(kf)
+            except Exception:
+                import traceback
+                traceback.print_exc()
 
     # ------------------------------------------------------------------
 
@@ -205,9 +219,13 @@ class MultiColSLAM:
         self.tracker.reset()
 
     def shutdown(self):
-        self._stop.set()
+        """cSystem::Shutdown: stop the worker and wait for it to finish
+        in-flight work (the reference polls isFinished, cSystem.cpp:
+        242-258) — joining fully avoids killing a thread mid-XLA-call."""
         if self._mapper_thread is not None:
-            self._mapper_thread.join(timeout=5)
+            self._kf_queue.put(None)           # drain, then exit
+            self._mapper_thread.join(timeout=120)
+        self._stop.set()
 
     def save_trajectory(self, path: str):
         """cSystem::SaveMKFTrajectoryLAFIDA (TUM format)."""

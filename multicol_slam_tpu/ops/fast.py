@@ -29,39 +29,71 @@ CIRCLE = np.array([
     (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1),
 ], np.int32)
 
-BORDER = 3  # circle radius
+# AGAST pixel masks (the reference exposes fastAgastType 0..3,
+# mdBRIEFextractorOct.cpp:863-950 via cv::AgastFeatureDetector):
+# 5_8 (radius-1.5 8-ring, arc 5) and 7_12 (radius-2 12-ring, arc 7).
+CIRCLE_12 = np.array([
+    (-2, 0), (-2, 1), (-1, 2), (0, 2), (1, 2), (2, 1),
+    (2, 0), (2, -1), (1, -2), (0, -2), (-1, -2), (-2, -1),
+], np.int32)
+CIRCLE_8 = np.array([
+    (-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1),
+], np.int32)
+
+# mask name -> (circle, arc length, border radius)
+DETECTOR_MASKS = {
+    "fast_9_16": (CIRCLE, 9, 3),
+    "agast_7_12": (CIRCLE_12, 7, 2),
+    "agast_5_8": (CIRCLE_8, 5, 1),
+}
+
+BORDER = 3  # max circle radius
 
 
-def _shifted_views(img: jax.Array) -> list[jax.Array]:
-    """The 16 ring neighbours of every pixel as a PYTHON LIST of (H, W)
+def _shifted_views(img: jax.Array, circle: np.ndarray,
+                   border: int) -> list[jax.Array]:
+    """The ring neighbours of every pixel as a PYTHON LIST of (H, W)
     static slices — keeping them unstacked lets XLA fuse the whole
-    score computation into one pointwise pass with no (16, H, W)
+    score computation into one pointwise pass with no (N, H, W)
     intermediates in HBM (a stacked version is ~4x slower)."""
     h, w = img.shape
-    pad = jnp.pad(img, BORDER, mode="edge")
-    return [pad[3 + dy: 3 + dy + h, 3 + dx: 3 + dx + w] for dy, dx in CIRCLE]
+    pad = jnp.pad(img, border, mode="edge")
+    return [pad[border + dy: border + dy + h, border + dx: border + dx + w]
+            for dy, dx in circle]
 
 
-def _ring_min9_list(x: list[jax.Array]) -> list[jax.Array]:
-    """out[k] = min(x[k..k+8] mod 16), via log-step list rotations."""
-    m2 = [jnp.minimum(x[k], x[(k + 1) % 16]) for k in range(16)]
-    m4 = [jnp.minimum(m2[k], m2[(k + 2) % 16]) for k in range(16)]
-    m8 = [jnp.minimum(m4[k], m4[(k + 4) % 16]) for k in range(16)]
-    return [jnp.minimum(m8[k], x[(k + 8) % 16]) for k in range(16)]
+def _ring_min_arc(x: list[jax.Array], arc: int) -> list[jax.Array]:
+    """out[k] = min(x[k..k+arc-1] mod N), via log-step list rotations."""
+    n = len(x)
+    cur = x
+    width = 1
+    while 2 * width <= arc:
+        cur = [jnp.minimum(cur[k], cur[(k + width) % n]) for k in range(n)]
+        width *= 2
+    rest = arc - width
+    if rest:
+        partial = _ring_min_arc(x, rest)
+        cur = [jnp.minimum(cur[k], partial[(k + width) % n])
+               for k in range(n)]
+    return cur
 
 
-def fast_score(img: jax.Array, threshold: float) -> jax.Array:
-    """Dense FAST-9/16 score map (H, W) float32; 0 where not a corner.
+def fast_score(img: jax.Array, threshold: float,
+               mask: str = "fast_9_16") -> jax.Array:
+    """Dense segment-test corner score map (H, W) float32; 0 where not a
+    corner. ``mask`` selects the pixel ring + arc: fast_9_16 (cv::FAST),
+    agast_7_12 or agast_5_8 (the reference's AGAST options).
 
-    Score = max over 9-arcs of min(d) for bright / min(-d) for dark,
-    minus 1 (cv::FAST cornerScore semantics): the largest threshold at
-    which the pixel remains a corner.
+    Score = max over arcs of min(d) for bright / min(-d) for dark, minus
+    1 (cv::FAST cornerScore semantics): the largest threshold at which
+    the pixel remains a corner.
     """
-    views = _shifted_views(img)
+    circle, arc, border = DETECTOR_MASKS[mask]
+    views = _shifted_views(img, circle, border)
     d = [v - img for v in views]
     dn = [-v for v in d]
-    bright = functools.reduce(jnp.maximum, _ring_min9_list(d))
-    dark = functools.reduce(jnp.maximum, _ring_min9_list(dn))
+    bright = functools.reduce(jnp.maximum, _ring_min_arc(d, arc))
+    dark = functools.reduce(jnp.maximum, _ring_min_arc(dn, arc))
     score = jnp.maximum(bright, dark) - 1.0
     return jnp.where(score >= threshold, score, 0.0)
 
@@ -116,10 +148,10 @@ def _window_any(x: jax.Array, cell: int) -> jax.Array:
 
 
 def fast_with_fallback(img: jax.Array, th_hi: float, th_lo: float,
-                       cell: int = 30) -> jax.Array:
-    """FAST th_hi per cell, falling back to th_lo in cells with no th_hi
-    corner (mdBRIEFextractorOct.cpp:905-940 semantics), then 3x3 NMS."""
-    s_lo = fast_score(img, th_lo)      # superset
+                       cell: int = 30, mask: str = "fast_9_16") -> jax.Array:
+    """FAST/AGAST th_hi per cell, falling back to th_lo in cells with no
+    th_hi corner (mdBRIEFextractorOct.cpp:905-940 semantics), then NMS."""
+    s_lo = fast_score(img, th_lo, mask)      # superset
     s_hi = jnp.where(s_lo >= th_hi, s_lo, 0.0)
     use_hi = _window_any(s_hi, cell)
     return nonmax_3x3(jnp.where(use_hi, s_hi, s_lo))

@@ -254,3 +254,28 @@ class TestFullExtractor:
         bits = np.unpackbits(m.view(np.uint8), axis=-1)
         frac = bits.mean()
         assert 0.3 < frac <= 1.0
+
+
+class TestDetectorVariants:
+    def test_agast_masks_detect_corners(self):
+        img = jnp.asarray(make_corner_image())
+        for mask in ["fast_9_16", "agast_7_12", "agast_5_8"]:
+            s = np.asarray(fast.fast_score(img, 20.0, mask))
+            assert (s > 0).sum() >= 4, f"{mask} found no corners"
+
+    def test_agast_flat_no_corners(self):
+        img = jnp.full((64, 64), 100.0)
+        for mask in ["fast_9_16", "agast_7_12", "agast_5_8"]:
+            assert float(jnp.max(fast.fast_score(img, 10.0, mask))) == 0.0
+
+    def test_harris_extractor_runs(self, lafida_setup):
+        rig, masks = lafida_setup
+        from multicol_slam_tpu.utils import synthetic as syn
+        render = syn.make_renderer(rig)
+        imgs = render(jnp.eye(4))
+        cfg = ext.ExtractorConfig(n_features=100, n_levels=2,
+                                  use_harris=True,
+                                  detector_mask="agast_7_12")
+        extract = ext.make_extractor(cfg, rig.cams, masks, (480, 754))
+        f = extract(imgs)
+        assert int(f.valid.sum()) > 150
