@@ -28,22 +28,24 @@ import numpy as np
 
 
 class Vocabulary(NamedTuple):
-    """Complete k-ary tree, levels L. Node layout: level l occupies
-    [(k^l - 1)/(k - 1), (k^(l+1) - 1)/(k - 1)); children of node n are
-    n*k + 1 ... n*k + k. Leaves (level L) are the words."""
+    """k-ary descriptor tree with an EXPLICIT child table, so both our
+    trained complete trees and loaded DBoW2 trees (incomplete, leaves at
+    varying depth) share one batched descent.
 
-    centroids: jax.Array    # (n_nodes, W) uint32, level>=1 nodes (root excluded? included, unused)
+    children[n] lists node n's children (-1 padded); word_of_node maps
+    leaf nodes to word ids (-1 for interior nodes)."""
+
+    centroids: jax.Array     # (n_nodes, W) uint32
+    children: jax.Array      # (n_nodes, k) int32, -1 padded
+    word_of_node: jax.Array  # (n_nodes,) int32
     k: int
     levels: int
-    weights: jax.Array      # (n_words,) float32 idf weights
-    valid_node: jax.Array   # (n_nodes,) bool — False for padded empty clusters
+    n_words_: int
+    weights: jax.Array       # (n_words,) float32 idf weights
 
     @property
     def n_words(self) -> int:
-        return self.k ** self.levels
-
-    def node_offset(self, level: int) -> int:
-        return (self.k ** level - 1) // (self.k - 1)
+        return self.n_words_
 
 
 def _bit_majority(descs: np.ndarray) -> np.ndarray:
@@ -70,8 +72,8 @@ def train_vocabulary(descriptors: np.ndarray, k: int = 10, levels: int = 4,
     W = descriptors.shape[1]
     n_nodes = (k ** (levels + 1) - 1) // (k - 1)
     centroids = np.zeros((n_nodes, W), np.uint32)
-    valid = np.zeros(n_nodes, bool)
-    valid[0] = True
+    children = np.full((n_nodes, k), -1, np.int32)
+    word_of_node = np.full(n_nodes, -1, np.int32)
 
     # recursive split
     assignments = {0: descriptors}
@@ -100,53 +102,54 @@ def train_vocabulary(descriptors: np.ndarray, k: int = 10, levels: int = 4,
             for c in range(kk):
                 child = node * k + 1 + c
                 centroids[child] = cents[c]
-                valid[child] = True
+                children[node, c] = child
                 next_assign[child] = descs[lab == c]
-            # pad empty children with far-away random codes (never win)
-            for c in range(kk, k):
-                child = node * k + 1 + c
-                centroids[child] = rng.integers(0, 2 ** 32, W, dtype=np.uint32)
-                valid[child] = False
         assignments = next_assign
 
-    # idf weights over leaf words
-    n_words = k ** levels
+    # words = deepest-level nodes that were created
     first_leaf = (k ** levels - 1) // (k - 1)
+    leaf_nodes = [n for n in assignments.keys()]
+    leaf_nodes.sort()
+    for w, n in enumerate(leaf_nodes):
+        word_of_node[n] = w
+    n_words = len(leaf_nodes)
+
     word_counts = np.zeros(n_words, np.int64)
-    # assign training descriptors to words using the finished tree
-    voc_tmp = Vocabulary(centroids=jnp.asarray(centroids), k=k, levels=levels,
-                         weights=jnp.ones(n_words, jnp.float32),
-                         valid_node=jnp.asarray(valid))
+    voc_tmp = Vocabulary(centroids=jnp.asarray(centroids),
+                         children=jnp.asarray(children),
+                         word_of_node=jnp.asarray(word_of_node),
+                         k=k, levels=levels, n_words_=n_words,
+                         weights=jnp.ones(n_words, jnp.float32))
     words = np.asarray(transform_words(
         voc_tmp, jnp.asarray(descriptors),
         jnp.ones(len(descriptors), bool))[0])
-    np.add.at(word_counts, words, 1)
+    np.add.at(word_counts, words[words >= 0], 1)
     n_docs = max(len(descriptors), 1)
     idf = np.log(n_docs / np.maximum(word_counts, 1)).astype(np.float32)
     idf[word_counts == 0] = 0.0
-    return Vocabulary(centroids=jnp.asarray(centroids), k=k, levels=levels,
-                      weights=jnp.asarray(idf), valid_node=jnp.asarray(valid))
+    return voc_tmp._replace(weights=jnp.asarray(idf))
 
 
 @functools.partial(jax.jit, static_argnames=("voc_k", "voc_levels", "levelsup"))
-def _transform_impl(centroids, valid_node, desc, valid, voc_k: int,
-                    voc_levels: int, levelsup: int):
+def _transform_impl(centroids, children, word_of_node, desc, valid,
+                    voc_k: int, voc_levels: int, levelsup: int):
     n = desc.shape[0]
     node = jnp.zeros(n, jnp.int32)
     node_up = jnp.zeros(n, jnp.int32)
     for level in range(voc_levels):
-        child0 = node * voc_k + 1                        # (N,)
-        idx = child0[:, None] + jnp.arange(voc_k)[None]  # (N, k)
-        cents = centroids[idx]                           # (N, k, W)
+        idx = children[node]                             # (N, k)
+        has_child = idx >= 0
+        idx_safe = jnp.clip(idx, 0)
+        cents = centroids[idx_safe]                      # (N, k, W)
         x = cents ^ desc[:, None, :]
         d = jnp.sum(jax.lax.population_count(x), axis=-1)  # (N, k)
-        d = jnp.where(valid_node[idx], d, 1 << 20)
-        best = jnp.argmin(d, 1).astype(jnp.int32)
-        node = child0 + best
+        d = jnp.where(has_child, d, 1 << 20)
+        best = jnp.argmin(d, 1)
+        nxt = jnp.take_along_axis(idx_safe, best[:, None], 1)[:, 0]
+        node = jnp.where(has_child.any(1), nxt, node).astype(jnp.int32)
         if level == voc_levels - levelsup - 1:
             node_up = node
-    first_leaf = (voc_k ** voc_levels - 1) // (voc_k - 1)
-    word = node - first_leaf
+    word = word_of_node[node]
     word = jnp.where(valid, word, -1)
     return word, node_up
 
@@ -159,8 +162,9 @@ def transform_words(voc: Vocabulary, desc: jax.Array, valid: jax.Array,
     role of DBoW2's FeatureVector grouping (reference levelsup=4 of a
     6-level tree ~ here scaled to the trained depth).
     """
-    return _transform_impl(voc.centroids, voc.valid_node, desc, valid,
-                           voc.k, voc.levels, min(levelsup, voc.levels - 1))
+    return _transform_impl(voc.centroids, voc.children, voc.word_of_node,
+                           desc, valid, voc.k, voc.levels,
+                           min(levelsup, voc.levels - 1))
 
 
 def bow_vector(voc: Vocabulary, words: np.ndarray) -> dict[int, float]:
@@ -192,14 +196,66 @@ def bow_score_l1(v1: dict[int, float], v2: dict[int, float]) -> float:
 
 def save_vocabulary(voc: Vocabulary, path: str):
     np.savez_compressed(
-        path, centroids=np.asarray(voc.centroids), k=voc.k,
-        levels=voc.levels, weights=np.asarray(voc.weights),
-        valid_node=np.asarray(voc.valid_node))
+        path, centroids=np.asarray(voc.centroids),
+        children=np.asarray(voc.children),
+        word_of_node=np.asarray(voc.word_of_node), k=voc.k,
+        levels=voc.levels, n_words=voc.n_words_,
+        weights=np.asarray(voc.weights))
 
 
 def load_vocabulary(path: str) -> Vocabulary:
     z = np.load(path)
     return Vocabulary(centroids=jnp.asarray(z["centroids"]),
+                      children=jnp.asarray(z["children"]),
+                      word_of_node=jnp.asarray(z["word_of_node"]),
                       k=int(z["k"]), levels=int(z["levels"]),
-                      weights=jnp.asarray(z["weights"]),
-                      valid_node=jnp.asarray(z["valid_node"]))
+                      n_words_=int(z["n_words"]),
+                      weights=jnp.asarray(z["weights"]))
+
+
+def load_dbow2_yaml(path: str) -> Vocabulary:
+    """Load a DBoW2 OpenCV-YAML vocabulary (the reference ships
+    Examples/small_orb_omni_voc_9_6.yml; cSystem.cpp:60-63 loads it with
+    cv::FileStorage). Parses nodeId/parentId/weight/descriptor entries
+    and rebuilds the explicit child table; words are the leaf nodes in
+    file order (DBoW2 createWords semantics: leaves enumerated by node
+    id)."""
+    import re
+
+    with open(path) as f:
+        text = f.read()
+    k = int(re.search(r"^\s*k:\s*(\d+)", text, re.M).group(1))
+    L = int(re.search(r"^\s*L:\s*(\d+)", text, re.M).group(1))
+    node_pat = re.compile(
+        r"nodeId:\s*(\d+),\s*parentId:\s*(\d+),\s*weight:\s*([0-9.eE+-]+),"
+        r"\s*descriptor:\s*\"([0-9 ]+)\"", re.S)
+    nodes = []
+    for mm in node_pat.finditer(text):
+        nid, pid = int(mm.group(1)), int(mm.group(2))
+        wt = float(mm.group(3))
+        dbytes = np.asarray([int(b) for b in mm.group(4).split()], np.uint8)
+        nodes.append((nid, pid, wt, dbytes))
+    n_nodes = max(n[0] for n in nodes) + 1
+    W = len(nodes[0][3]) // 4
+    centroids = np.zeros((n_nodes, W), np.uint32)
+    weights_by_node = np.zeros(n_nodes, np.float32)
+    children = np.full((n_nodes, k), -1, np.int32)
+    child_count = np.zeros(n_nodes, np.int32)
+    for nid, pid, wt, dbytes in nodes:
+        centroids[nid] = dbytes.view(np.uint32)
+        weights_by_node[nid] = wt
+        if child_count[pid] < k:
+            children[pid, child_count[pid]] = nid
+            child_count[pid] += 1
+    # leaves -> words (in node-id order, matching DBoW2's enumeration)
+    is_leaf = child_count == 0
+    is_leaf[0] = False
+    word_of_node = np.full(n_nodes, -1, np.int32)
+    leaf_ids = np.nonzero(is_leaf)[0]
+    word_of_node[leaf_ids] = np.arange(len(leaf_ids), dtype=np.int32)
+    weights = weights_by_node[leaf_ids]
+    return Vocabulary(centroids=jnp.asarray(centroids),
+                      children=jnp.asarray(children),
+                      word_of_node=jnp.asarray(word_of_node),
+                      k=k, levels=L, n_words_=len(leaf_ids),
+                      weights=jnp.asarray(weights))

@@ -26,10 +26,10 @@ def base_system():
     slam = MultiColSLAM(CALIB_DIR, settings=settings, capacity_pts=20000,
                         capacity_kfs=64, enable_loop_closing=False)
     render = synthetic.make_renderer(slam.rig)
-    gt = synthetic.lateral_trajectory(26, step=0.045)
-    for t in range(26):
+    gt = synthetic.lateral_trajectory(40, step=0.05)
+    for t in range(40):
         slam.track(render(jnp.asarray(gt[t], jnp.float32)), t / 25.0)
-    assert slam.map.n_keyframes() >= 2
+    assert slam.map.n_keyframes() >= 3
     return slam
 
 

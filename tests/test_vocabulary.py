@@ -140,3 +140,36 @@ class TestKeyFrameDatabase:
         db.erase(1)
         assert 1 not in db.kf_bow
         assert all(1 not in lst for lst in db.inverted.values())
+
+
+class TestDBoW2Loader:
+    def test_load_reference_vocabulary(self):
+        """Parse the reference's shipped 2MB DBoW2 vocabulary and run the
+        batched transform through it."""
+        voc = vocab.load_dbow2_yaml(
+            "/root/reference/Examples/small_orb_omni_voc_9_6.yml")
+        assert voc.k == 9 and voc.levels == 6
+        assert voc.n_words > 100
+        assert voc.centroids.shape[1] == 8  # 32-byte ORB descriptors
+        rng = np.random.default_rng(9)
+        descs = rand_descs(rng, 300)
+        w, nup = vocab.transform_words(voc, jnp.asarray(descs),
+                                       jnp.ones(300, bool))
+        w = np.asarray(w)
+        assert (w >= 0).all() and (w < voc.n_words).all()
+        # deterministic
+        w2, _ = vocab.transform_words(voc, jnp.asarray(descs),
+                                      jnp.ones(300, bool))
+        np.testing.assert_array_equal(w, np.asarray(w2))
+        # words spread over the tree (not all descriptors in one word)
+        assert len(np.unique(w)) > 50
+
+    def test_bow_scoring_with_loaded_vocab(self):
+        voc = vocab.load_dbow2_yaml(
+            "/root/reference/Examples/small_orb_omni_voc_9_6.yml")
+        rng = np.random.default_rng(10)
+        descs = rand_descs(rng, 200)
+        w, _ = vocab.transform_words(voc, jnp.asarray(descs),
+                                     jnp.ones(200, bool))
+        v = vocab.bow_vector(voc, np.asarray(w))
+        assert abs(vocab.bow_score_l1(v, v) - 1.0) < 1e-9
