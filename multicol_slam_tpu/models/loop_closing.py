@@ -108,6 +108,9 @@ class LoopCloser:
                 min_score = min(min_score, s)
         cands = self.db.detect_loop_candidates(kf, bow, min_score, m,
                                                connected)
+        # drop keyframes culled since they entered the database
+        cands = [c for c in cands
+                 if m.kf_valid[c] and m.kf_features[c] is not None]
         if not cands:
             self.consistent_groups = []
             return []
@@ -136,6 +139,8 @@ class LoopCloser:
         over slots that carry landmarks (cORBmatcher.cpp:885)."""
         m = self.map
         f1, f2 = m.kf_features[kf1], m.kf_features[kf2]
+        if f1 is None or f2 is None:
+            return []
         _, nodes1 = self._bow_of_kf(kf1)
         _, nodes2 = self._bow_of_kf(kf2)
         C, K = m.kf_pt.shape[1:3]

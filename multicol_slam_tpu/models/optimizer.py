@@ -319,6 +319,69 @@ def bundle_adjustment(rig: Rig, mt_min0: jax.Array, X0: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("iters",))
+def refine_intrinsics(rig: Rig, mt_all: jax.Array, X: jax.Array,
+                      obs: BAObservations, *, iters: int = 8,
+                      huber: float = HUBER_GLOBAL):
+    """Optimize the 17-dof omnidirectional intrinsics of every camera
+    ([c, d, e, u0, v0, invP(12)] — VertexOmniCameraParameters,
+    g2o_MultiCol_vertices_edges.h:41-79, additive update like the
+    reference's operator+) with poses and structure held fixed.
+
+    The reference declares this capability but always fixes the IO
+    vertices; here it is a usable photometric-calibration refinement.
+    Returns (cams', per-camera 17-vectors, final cost).
+    """
+    C = rig.M_c.shape[0]
+    mc_min = jnp.asarray(rig.M_c_min)
+    cams0 = jax.tree.map(jnp.asarray, rig.cams)
+    v0 = cams0.to_vector17()                       # (C, 17)
+
+    def residuals(v17):
+        cams = cams0.with_vector17(v17)
+
+        def one(i):
+            o_kf, o_cam, o_pt = obs.kf[i], obs.cam[i], obs.pt[i]
+            cam = jax.tree.map(lambda a: a[o_cam], cams)
+            return _project_residual(mt_all[o_kf], mc_min[o_cam], X[o_pt],
+                                     cam, obs.uv[i])
+
+        return jax.vmap(one)(jnp.arange(obs.uv.shape[0]))
+
+    def cost_of(v17):
+        r = residuals(v17)
+        chi2 = jnp.sum(r * r, -1) * obs.inv_sigma2
+        rho = jnp.where(jnp.sqrt(chi2) <= huber, chi2,
+                        2 * huber * jnp.sqrt(chi2) - huber * huber)
+        return jnp.sum(jnp.where(obs.valid, rho, 0.0))
+
+    def step(v17, lam):
+        r = residuals(v17)
+        chi2 = jnp.sum(r * r, -1) * obs.inv_sigma2
+        w = _huber_w(chi2, huber) * obs.inv_sigma2
+        w = jnp.where(obs.valid, w, 0.0)
+        J = jax.jacfwd(residuals)(v17)             # (K, 2, C, 17)
+        # per-camera block normal equations (cameras are independent)
+        H = jnp.einsum("krci,k,krcj->cij", J, w, J)
+        g = jnp.einsum("krci,k,kr->ci", J, w, r)
+        Hd = H + lam * jnp.eye(17)[None]
+        d = jnp.linalg.solve(Hd, g[..., None])[..., 0]
+        return v17 - d
+
+    def body(_, state):
+        v, lam, cost = state
+        v_new = step(v, lam)
+        cost_new = cost_of(v_new)
+        accept = cost_new < cost
+        v = jnp.where(accept, v_new, v)
+        return (v, jnp.where(accept, lam * 0.5, lam * 4.0),
+                jnp.where(accept, cost_new, cost))
+
+    v17, _, cost = jax.lax.fori_loop(0, iters, body,
+                                     (v0, jnp.float32(1e-3), cost_of(v0)))
+    return cams0.with_vector17(v17), v17, cost
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
 def self_calibrating_bundle_adjustment(rig: Rig, mt_min0: jax.Array,
                                        X0: jax.Array, problem: BAProblem, *,
                                        huber: float = HUBER_GLOBAL,

@@ -176,27 +176,30 @@ def select_uniform_topk(score: jax.Array, mask: jax.Array, k: int,
                  & (xx >= border) & (xx < w - border))
     s = jnp.where(mask & in_border, score, 0.0)
 
-    # best-per-bucket: suppress everything below the bucket max
+    # best-per-bucket (the octree's "one keypoint per leaf"), then
+    # top-k over the BUCKET array — O(HW) reduce + O(#buckets) top_k
+    # instead of a full-image sort. bucket count ~ 3k by construction,
+    # so the budget is almost never starved (matching the octree, which
+    # keeps everything when it runs out of cells to split).
     hp = -(-h // bucket) * bucket
     wp = -(-w // bucket) * bucket
     sp = jnp.pad(s, ((0, hp - h), (0, wp - w)))
-    tiles = sp.reshape(hp // bucket, bucket, wp // bucket, bucket)
-    tile_max = jnp.max(tiles, axis=(1, 3), keepdims=True)
-    winner = (tiles == tile_max) & (tiles > 0)
-    # break ties inside a bucket: first in raster order
-    flat = winner.transpose(0, 2, 1, 3).reshape(-1, bucket * bucket)
-    first = jnp.argmax(flat, axis=1)
-    only = jnp.zeros_like(flat).at[jnp.arange(flat.shape[0]), first].set(
-        jnp.take_along_axis(flat, first[:, None], 1)[:, 0])
-    winner = only.reshape(hp // bucket, wp // bucket, bucket, bucket).transpose(0, 2, 1, 3)
-    # Prioritize bucket winners but keep non-winners as fill-up when a
-    # level has fewer populated buckets than k (the octree keeps ALL
-    # keypoints when it runs out of cells to split).
-    PRIO = jnp.float32(1e7)
-    s_prio = jnp.where(winner, tiles + PRIO, tiles).reshape(hp, wp)[:h, :w]
+    nby, nbx = hp // bucket, wp // bucket
+    tiles = sp.reshape(nby, bucket, nbx, bucket).transpose(0, 2, 1, 3)
+    tiles = tiles.reshape(nby * nbx, bucket * bucket)
+    bvals = jnp.max(tiles, axis=1)                  # (B,)
+    bargs = jnp.argmax(tiles, axis=1)               # first max in raster order
 
-    resp, idx = jax.lax.top_k(s_prio.reshape(-1), k)
+    kk = min(k, nby * nbx)
+    resp, bidx = jax.lax.top_k(bvals, kk)
+    within = bargs[bidx]
+    by, bx = bidx // nbx, bidx % nbx
+    dy, dx = within // bucket, within % bucket
+    yx = jnp.stack([by * bucket + dy, bx * bucket + dx], -1).astype(jnp.int32)
     valid = resp > 0
-    resp = jnp.where(resp >= PRIO, resp - PRIO, resp)
-    yx = jnp.stack([idx // w, idx % w], -1).astype(jnp.int32)
+    if kk < k:   # pad to the static budget
+        pad = k - kk
+        yx = jnp.concatenate([yx, jnp.zeros((pad, 2), jnp.int32)], 0)
+        resp = jnp.concatenate([resp, jnp.zeros((pad,), resp.dtype)], 0)
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)], 0)
     return yx, resp, valid

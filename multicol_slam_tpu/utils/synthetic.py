@@ -60,15 +60,20 @@ def _texture3d(pts: jax.Array, lat: jax.Array) -> jax.Array:
                     + 0.2 * fine + steps * 0.5 + 30.0, 0.0, 255.0)
 
 
-def _ray_box_exit(origin: jax.Array, direction: jax.Array) -> jax.Array:
-    """Distance to the cubic-room wall along ``direction`` from an
-    interior ``origin``: min over axes of the positive boundary hit."""
+def _ray_box_exit(origin: jax.Array, direction: jax.Array,
+                  half=None) -> jax.Array:
+    """Distance to the room wall along ``direction`` from an interior
+    ``origin``: min over axes of the positive boundary hit. ``half`` is
+    the per-axis half-extent (default: the ROOM_HALF cube)."""
+    if half is None:
+        half = (ROOM_HALF, ROOM_HALF, ROOM_HALF)
+    half = jnp.asarray(half, direction.dtype)
     d = jnp.where(jnp.abs(direction) < 1e-9, 1e-9, direction)
-    t = (jnp.sign(d) * ROOM_HALF - origin) / d
+    t = (jnp.sign(d) * half - origin) / d
     return jnp.min(t, axis=-1)
 
 
-def make_renderer(rig: Rig, dtype=jnp.float32):
+def make_renderer(rig: Rig, dtype=jnp.float32, room_half=None):
     """Returns render(M_t) -> (n_cams, H, W) float32 images in [0, 255].
 
     Per-camera pixel rays are precomputed once (camera intrinsics are
@@ -96,7 +101,7 @@ def make_renderer(rig: Rig, dtype=jnp.float32):
         R = T[:, :3, :3]
         C = T[:, :3, 3]                               # camera centres
         rays_w = jnp.einsum("nij,nhwj->nhwi", R, rays)
-        t = _ray_box_exit(C[:, None, None, :], rays_w)
+        t = _ray_box_exit(C[:, None, None, :], rays_w, room_half)
         hits = C[:, None, None, :] + t[..., None] * rays_w
         img = _texture3d(hits, jnp.asarray(lat))
         return jnp.clip(img, 0.0, 255.0)

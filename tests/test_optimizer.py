@@ -278,3 +278,31 @@ class TestSelfCalibration:
             rig, jnp.asarray(mt_all), jnp.asarray(X), problem, iters=3,
             free_mc=True)
         assert mt.shape == (2, 6) and Xr.shape == (P, 3)
+
+
+class TestIntrinsicsRefinement:
+    def test_recovers_perturbed_intrinsics(self, rig):
+        """Perturb camera intrinsics (principal point + inverse poly),
+        refine with poses/structure fixed, recover the truth."""
+        rng = np.random.default_rng(9)
+        P = 200
+        X = gen_world_points(rng, P)
+        mt_all = np.stack([np.zeros(6),
+                           np.array([0.02, 0.01, -0.01, 0.3, 0.05, 0.1])])
+        obs, _ = build_ba_problem(rig, mt_all, X, rng)
+
+        import jax
+        from multicol_slam_tpu.ops.rig import Rig
+        v_true = np.asarray(jax.tree.map(jnp.asarray, rig.cams).to_vector17())
+        v_pert = v_true.copy()
+        v_pert[:, 3] += 1.5   # u0 off by 1.5 px
+        v_pert[:, 4] -= 1.0   # v0 off by 1 px
+        cams_pert = jax.tree.map(jnp.asarray, rig.cams).with_vector17(
+            jnp.asarray(v_pert))
+        rig_pert = Rig(M_c=rig.M_c, cams=cams_pert)
+
+        cams_ref, v17, cost = opt.refine_intrinsics(
+            rig_pert, jnp.asarray(mt_all), jnp.asarray(X), obs, iters=10)
+        v17 = np.asarray(v17)
+        np.testing.assert_allclose(v17[:, 3], v_true[:, 3], atol=0.05)
+        np.testing.assert_allclose(v17[:, 4], v_true[:, 4], atol=0.05)
