@@ -73,7 +73,8 @@ def _ray_box_exit(origin: jax.Array, direction: jax.Array,
     return jnp.min(t, axis=-1)
 
 
-def make_renderer(rig: Rig, dtype=jnp.float32, room_half=None):
+def make_renderer(rig: Rig, dtype=jnp.float32, room_half=None,
+                  door_wall: dict | None = None):
     """Returns render(M_t) -> (n_cams, H, W) float32 images in [0, 255].
 
     Per-camera pixel rays are precomputed once (camera intrinsics are
@@ -101,8 +102,24 @@ def make_renderer(rig: Rig, dtype=jnp.float32, room_half=None):
         R = T[:, :3, :3]
         C = T[:, :3, 3]                               # camera centres
         rays_w = jnp.einsum("nij,nhwj->nhwi", R, rays)
-        t = _ray_box_exit(C[:, None, None, :], rays_w, room_half)
-        hits = C[:, None, None, :] + t[..., None] * rays_w
+        o = C[:, None, None, :]
+        t = _ray_box_exit(o, rays_w, room_half)
+        if door_wall is not None:
+            # interior occluding wall at z = wz with a door opening —
+            # two rooms whose keyframes share no landmarks except
+            # through the doorway (enables organic loop closures)
+            wz = door_wall.get("z", 0.0)
+            dx = door_wall.get("door_half_x", 0.7)
+            dy = door_wall.get("door_half_y", 1.2)
+            dz = rays_w[..., 2]
+            t_wall = (wz - o[..., 2]) / jnp.where(jnp.abs(dz) < 1e-9,
+                                                  1e-9, dz)
+            px = o[..., 0] + t_wall * rays_w[..., 0]
+            py = o[..., 1] + t_wall * rays_w[..., 1]
+            solid = (t_wall > 1e-4) & ~((jnp.abs(px) < dx)
+                                        & (jnp.abs(py) < dy))
+            t = jnp.where(solid & (t_wall < t), t_wall, t)
+        hits = o + t[..., None] * rays_w
         img = _texture3d(hits, jnp.asarray(lat))
         return jnp.clip(img, 0.0, 255.0)
 
@@ -125,6 +142,31 @@ def lateral_trajectory(n_frames: int, step: float = 0.05,
         out[i, :3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
         out[i, :3, 3] = [step * i, 0.004 * i, 0.002 * i]
         out[i, 3, 3] = 1.0
+    return out
+
+
+def two_room_loop_trajectory(n_frames: int, depth: float = 1.6,
+                             width: float = 1.4) -> np.ndarray:
+    """(n_frames, 4, 4) poses: start in room A (z<0) near the door, pass
+    through the door (at z=0, x=0), tour room B, and return through the
+    door to the start — a genuine revisit with covisibility broken by
+    the wall (use with make_renderer(door_wall=...))."""
+    # waypoints in (x, z)
+    wps = np.array([
+        [0.0, -depth], [0.0, -0.4], [0.0, 0.5], [width * 0.7, depth * 0.7],
+        [0.0, depth * 1.2], [-width * 0.7, depth * 0.7], [0.0, 0.5],
+        [0.0, -0.4], [0.0, -depth],
+    ])
+    # arc-length resample
+    seg = np.linalg.norm(np.diff(wps, axis=0), axis=1)
+    cum = np.concatenate([[0], np.cumsum(seg)])
+    s = np.linspace(0, cum[-1], n_frames)
+    x = np.interp(s, cum, wps[:, 0])
+    z = np.interp(s, cum, wps[:, 1])
+    out = np.zeros((n_frames, 4, 4))
+    for i in range(n_frames):
+        out[i] = np.eye(4)
+        out[i][:3, 3] = [x[i], 0.0, z[i]]
     return out
 
 
