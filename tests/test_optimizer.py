@@ -213,11 +213,6 @@ class TestBundleAdjustment:
         mt0 = mt_all.copy()
         mt0[1] += 0.01
 
-        def total_chi2(mt, Xc):
-            _, chi2 = jax.jit(lambda m, x: opt.bundle_adjustment(
-                rig, m, x, problem, iters=1))(mt, Xc)[2], None
-            return None
-
         _, _, chi2_0 = opt.bundle_adjustment(
             rig, jnp.asarray(mt0), jnp.asarray(X0), problem, iters=1)
         _, _, chi2_n = opt.bundle_adjustment(
