@@ -360,128 +360,76 @@ class LoopCloser:
     # ------------------------------------------------------------------
 
     def _correct_loop(self, kf: int, loop_kf: int, S12: Sim3):
-        """CorrectLoop (:429-595): S12 maps loop-KF-relative geometry into
-        the current KF's frame: x_kf = S12 x_loopkf. Corrected pose of
-        kf: S_kf_world_corrected = S12^-1 applied... we follow the
-        reference's math: Scw_corrected(kf) = S12_cw = S12^{-1} o S_kf?
-        Concretely: the corrected world-to-kf sim3 is
-        S_corr = S12_inv-composed so that kf aligns with loop_kf's map.
-        Then propagate the delta to kf's covisible group and their
-        points, and run the essential-graph optimization."""
+        """CorrectLoop (cLoopClosing.cpp:429-595) + essential-graph pass
+        (cOptimizerLoopStuff.cpp:267-513), in reference order:
+
+        1. snapshot every KF's PRE-correction world->body Sim3 (the
+           reference's NonCorrectedSim3 map, cLoopClosing.cpp:448-470);
+        2. directly correct the current covisible group and its points
+           with delta = S_corr o S_kf^-1 (:471-524);
+        3. SearchAndFuse loop-region duplicates into the group (:548);
+        4. collect the NEW covisibility links the fusion created
+           (LoopConnections, :550-570);
+        5. optimize the essential graph: spanning-tree / old-loop /
+           strong-covisibility edges are measured from the
+           PRE-correction relative poses (so the loop error distributes
+           over the whole trajectory, cOptimizerLoopStuff.cpp:385-428)
+           while the new loop edges are measured from the corrected
+           estimates (:330-360); vertices start at the corrected
+           estimates for the group, pre-correction elsewhere;
+        6. write back poses and remap every point through its corrected
+           reference (mnCorrectedByKF) or first observer (:490-512).
+        """
         m = self.map
-        # world->body SE3 (as sim3) for every valid KF
         kf_ids = m.keyframe_ids().tolist()
         idx_of = {k: i for i, k in enumerate(kf_ids)}
         N = len(kf_ids)
 
-        def Siw(k):  # world -> body
-            M = np.asarray(cayley2hom(jnp.asarray(m.kf_pose[k])))
-            return sim3_from_se3(jnp.asarray(np.linalg.inv(M)))
+        def siw_log(pose6) -> np.ndarray:
+            M = np.asarray(cayley2hom(jnp.asarray(pose6)))
+            return np.asarray(sim3_log(sim3_from_se3(
+                jnp.asarray(np.linalg.inv(M)))))
 
-        S_kf = Siw(kf)
-        S_loop = Siw(loop_kf)
+        # (1) NonCorrectedSim3 snapshot
+        logs_pre = np.stack([siw_log(m.kf_pose[k]) for k in kf_ids])
+
+        S_kf = sim3_exp(jnp.asarray(logs_pre[idx_of[kf]]))
+        S_loop = sim3_exp(jnp.asarray(logs_pre[idx_of[loop_kf]]))
         # corrected world->kf: x_kf = S12 x_loop = S12 S_loop x_world
         S_corr = S12.compose(S_loop)
-        # delta applied to the current covisible group: S_corr o S_kf^-1
         delta = S_corr.compose(S_kf.inverse())
 
         group = set(m.covisible_keyframes(kf)) | {kf}
-        # remap the group's points: x' = S_corr^-1 S_old x  (:490-512)
-        done_pts: set[int] = set()
+        pre_conn = {g: set(m.covisible_keyframes(g)) for g in group}
+
+        # (2) direct correction of the covisible group + its points
+        logs_init = logs_pre.copy()
+        corrected_by: dict[int, int] = {}     # point -> corrected ref vertex
         for gkf in group:
-            S_old = Siw(gkf)
+            i = idx_of[gkf]
+            S_old = sim3_exp(jnp.asarray(logs_pre[i]))
             S_new = delta.compose(S_old)
+            logs_init[i] = np.asarray(sim3_log(S_new))
             arr = m.kf_pt[gkf]
             pts = np.unique(arr[arr >= 0])
-            for p in pts:
-                if p in done_pts or not m.pt_valid[p]:
-                    continue
-                done_pts.add(int(p))
-                Xw = jnp.asarray(m.pt_pos[p], jnp.float64)
-                Xb = S_old.apply(Xw)
-                Xw_new = S_new.inverse().apply(Xb)
-                m.pt_pos[p] = np.asarray(Xw_new, np.float32)
-            # corrected pose (SE3 from sim3: divide t by s)
-            M_new_inv = np.asarray(S_new.to_se3())
-            m.kf_pose[gkf] = np.asarray(
-                hom2cayley(jnp.asarray(np.linalg.inv(M_new_inv))))
+            pts = pts[m.pt_valid[pts]] if len(pts) else pts
+            pts = np.asarray([p for p in pts if int(p) not in corrected_by],
+                             np.int32)
+            if len(pts):
+                Xb = _apply_sim3_np(S_old, m.pt_pos[pts].astype(np.float64))
+                m.pt_pos[pts] = _apply_sim3_np(
+                    S_new.inverse(), Xb).astype(np.float32)
+                for p in pts:
+                    corrected_by[int(p)] = i
+            m.kf_pose[gkf] = np.asarray(hom2cayley(jnp.asarray(
+                np.linalg.inv(np.asarray(S_new.to_se3())))))
 
         # loop edge bookkeeping
         m.kf_loop_edges[kf].add(loop_kf)
         m.kf_loop_edges[loop_kf].add(kf)
 
-        # --- essential graph over all KFs ---
-        logs = np.zeros((N, 7))
-        for k, i in idx_of.items():
-            logs[i] = np.asarray(sim3_log(Siw(k)))
-        ei, ej, meas = [], [], []
-
-        def add_edge(a, b):
-            ia, ib = idx_of[a], idx_of[b]
-            Sa = sim3_exp(jnp.asarray(logs[ia]))
-            Sb = sim3_exp(jnp.asarray(logs[ib]))
-            meas.append(np.asarray(sim3_log(Sa.compose(Sb.inverse()))))
-            ei.append(ia)
-            ej.append(ib)
-
-        seen_edges = set()
-        for k in kf_ids:
-            # spanning tree
-            par = int(m.kf_parent[k])
-            if par >= 0 and par in idx_of and (par, k) not in seen_edges:
-                add_edge(par, k)
-                seen_edges.add((par, k))
-                seen_edges.add((k, par))
-            # loop edges
-            for le in m.kf_loop_edges.get(k, ()):
-                if le in idx_of and (le, k) not in seen_edges:
-                    add_edge(le, k)
-                    seen_edges.add((le, k))
-                    seen_edges.add((k, le))
-            # strong covisibility (weight >= 100, :303)
-            w = m.covisibility_weights(k)
-            for ok_, wt in w.items():
-                if wt >= 100 and ok_ in idx_of and (ok_, k) not in seen_edges:
-                    add_edge(ok_, k)
-                    seen_edges.add((ok_, k))
-                    seen_edges.add((k, ok_))
-        if not ei:
-            return
-        fixed = np.zeros(N, bool)
-        fixed[idx_of[loop_kf]] = True
-        graph = sim3_opt.EssentialGraph(
-            edge_i=jnp.asarray(ei, jnp.int32),
-            edge_j=jnp.asarray(ej, jnp.int32),
-            meas=jnp.asarray(np.stack(meas)),
-            valid=jnp.ones(len(ei), bool),
-            fixed=jnp.asarray(fixed))
-        logs_opt = np.asarray(sim3_opt.optimize_essential_graph(
-            jnp.asarray(logs), graph, iters=20))
-
-        # write back: poses + remap all points via S_new^-1 S_old
-        for k, i in idx_of.items():
-            S_old = sim3_exp(jnp.asarray(logs[i]))
-            S_new = sim3_exp(jnp.asarray(logs_opt[i]))
-            M_new_inv = np.asarray(S_new.to_se3())
-            m.kf_pose[k] = np.asarray(
-                hom2cayley(jnp.asarray(np.linalg.inv(M_new_inv))))
-        # points: remap through their reference (first observing) KF
-        for p in m.point_ids():
-            obs = m.pt_obs.get(int(p))
-            if not obs:
-                continue
-            ref_kf = obs[0][0]
-            if ref_kf not in idx_of:
-                continue
-            i = idx_of[ref_kf]
-            S_old = sim3_exp(jnp.asarray(logs[i]))
-            S_new = sim3_exp(jnp.asarray(logs_opt[i]))
-            Xb = S_old.apply(jnp.asarray(m.pt_pos[p], jnp.float64))
-            m.pt_pos[p] = np.asarray(S_new.inverse().apply(Xb), np.float32)
-
-        # SearchAndFuse (cLoopClosing.cpp:548, :597-610): project the
-        # loop region's landmarks into the corrected covisible group and
-        # merge duplicates
+        # (3) SearchAndFuse BEFORE the pose graph so the new covisibility
+        # links (LoopConnections) feed it, mirroring the reference order
         if self.fuser is not None:
             loop_pts = set()
             for nk in [loop_kf] + m.covisible_keyframes(loop_kf, best_n=10):
@@ -492,6 +440,98 @@ class LoopCloser:
             for gkf in group:
                 if m.kf_valid[gkf]:
                     self.fuser._fuse_points_into_kf(loop_pts, gkf)
+
+        # (4) LoopConnections: links from group KFs created by the fusion
+        loop_connections: list[tuple[int, int]] = [(kf, loop_kf)]
+        for g in group:
+            if not m.kf_valid[g]:
+                continue
+            for nk in set(m.covisible_keyframes(g)) - pre_conn[g] - group:
+                loop_connections.append((g, nk))
+
+        # (5) essential graph
+        ei, ej, meas = [], [], []
+        seen_edges = set()
+
+        def add_edge(a, b, logs_src):
+            ia, ib = idx_of[a], idx_of[b]
+            Sa = sim3_exp(jnp.asarray(logs_src[ia]))
+            Sb = sim3_exp(jnp.asarray(logs_src[ib]))
+            meas.append(np.asarray(sim3_log(Sa.compose(Sb.inverse()))))
+            ei.append(ia)
+            ej.append(ib)
+            seen_edges.add((a, b))
+            seen_edges.add((b, a))
+
+        # new loop constraints carry the measured S12: relative poses of
+        # the CORRECTED estimates
+        for a, b in loop_connections:
+            if a in idx_of and b in idx_of and (a, b) not in seen_edges:
+                add_edge(a, b, logs_init)
+        # odometry-era constraints from the PRE-correction poses
+        for k in kf_ids:
+            par = int(m.kf_parent[k])
+            if par >= 0 and par in idx_of and (par, k) not in seen_edges:
+                add_edge(par, k, logs_pre)
+            for le in m.kf_loop_edges.get(k, ()):
+                if le in idx_of and (le, k) not in seen_edges:
+                    add_edge(le, k, logs_pre)
+            w = m.covisibility_weights(k)
+            for ok_, wt in w.items():
+                if wt >= 100 and ok_ in idx_of and (ok_, k) not in seen_edges:
+                    add_edge(ok_, k, logs_pre)
+        if not ei:
+            return
+        # pad vertices + edges to buckets (bounds jit recompilation)
+        from .tracking import bucket
+        E = len(ei)
+        Ecap = bucket(E, 16)
+        Ncap = bucket(N, 8)
+        ei = np.concatenate([ei, np.zeros(Ecap - E, np.int32)])
+        ej = np.concatenate([ej, np.zeros(Ecap - E, np.int32)])
+        meas = np.concatenate([np.stack(meas),
+                               np.zeros((Ecap - E, 7))], 0)
+        fixed = np.ones(Ncap, bool)       # pad vertices held fixed
+        fixed[:N] = False
+        fixed[idx_of[loop_kf]] = True
+        logs_in = np.concatenate([logs_init, np.zeros((Ncap - N, 7))], 0)
+        graph = sim3_opt.EssentialGraph(
+            edge_i=jnp.asarray(ei, jnp.int32),
+            edge_j=jnp.asarray(ej, jnp.int32),
+            meas=jnp.asarray(meas),
+            valid=jnp.asarray(np.arange(Ecap) < E),
+            fixed=jnp.asarray(fixed))
+        logs_opt = np.asarray(sim3_opt.optimize_essential_graph(
+            jnp.asarray(logs_in), graph, iters=20))[:N]
+
+        # (6) write back poses + remap points via S_opt^-1 o S_init
+        for k, i in idx_of.items():
+            S_new = sim3_exp(jnp.asarray(logs_opt[i]))
+            m.kf_pose[k] = np.asarray(hom2cayley(jnp.asarray(
+                np.linalg.inv(np.asarray(S_new.to_se3())))))
+        by_ref: dict[int, list[int]] = {}
+        for p in m.point_ids():
+            p = int(p)
+            if p in corrected_by:
+                by_ref.setdefault(corrected_by[p], []).append(p)
+            else:
+                obs = m.pt_obs.get(p)
+                if obs and obs[0][0] in idx_of:
+                    by_ref.setdefault(idx_of[obs[0][0]], []).append(p)
+        for i, plist in by_ref.items():
+            S_old = sim3_exp(jnp.asarray(logs_init[i]))
+            S_new_inv = sim3_exp(jnp.asarray(logs_opt[i])).inverse()
+            pts = np.asarray(plist, np.int32)
+            Xb = _apply_sim3_np(S_old, m.pt_pos[pts].astype(np.float64))
+            m.pt_pos[pts] = _apply_sim3_np(S_new_inv, Xb).astype(np.float32)
+
+
+def _apply_sim3_np(S: Sim3, X: np.ndarray) -> np.ndarray:
+    """Vectorized host-side Sim3 apply on (N, 3) numpy points."""
+    s = float(np.asarray(S.s))
+    R = np.asarray(S.R, np.float64)
+    t = np.asarray(S.t, np.float64)
+    return s * X @ R.T + t
 
 
 def _sim3_chi2(rig: Rig, S: Sim3, obs: sim3_opt.Sim3Obs):

@@ -126,6 +126,102 @@ class TestLoopCorrection:
             f"before {err_before:.4f} after {err_after:.4f}"
 
 
+class TestEssentialGraphDistribution:
+    """Drift spread over MANY keyframes: the direct group correction
+    only reaches the loop KF's covisible group, so recovering the middle
+    of the trajectory REQUIRES the essential-graph optimization to
+    distribute the loop error via pre-correction edge measurements
+    (cOptimizerLoopStuff.cpp:267-513). This test fails if the graph is a
+    no-op (e.g. measurements built from already-corrected poses)."""
+
+    N_KF = 14
+    PTS_PER_GROUP = 30
+
+    def _build_drifted_map(self):
+        N, G = self.N_KF, self.PTS_PER_GROUP
+        rng = np.random.default_rng(11)
+        # true poses: out-and-back along +x (loop: last pose == first)
+        M_true = np.tile(np.eye(4), (N, 1, 1))
+        half = N // 2
+        xs = np.concatenate([np.arange(half) * 0.4,
+                             (half - 1 - np.arange(N - half)) * 0.4])
+        M_true[:, 0, 3] = xs
+        # drifted odometry: true relative pose composed with a small
+        # systematic error each step -> error accumulates over the run
+        M_drift = M_true.copy()
+        for k in range(1, N):
+            T_rel = np.linalg.inv(M_true[k - 1]) @ M_true[k]
+            ang = 0.02
+            c, s = np.cos(ang), np.sin(ang)
+            T_noise = np.eye(4)
+            T_noise[:3, :3] = [[c, 0, s], [0, 1, 0], [-s, 0, c]]
+            T_noise[:3, 3] = [0.015, -0.01, 0.02]
+            M_drift[k] = M_drift[k - 1] @ T_rel @ T_noise
+
+        m = MapStore(capacity_pts=N * G + 16, capacity_kfs=N + 2,
+                     n_cams=1, k_per_cam=2 * G + 8)
+        # point group g: observed by kf g (slots 0..G-1) and kf g+1
+        # (slots G..2G-1); anchored to its first observer's drifted pose
+        X_true = rng.uniform(-1.5, 1.5, (N * G, 3))
+        X_true[:, 0] += np.repeat(xs[np.arange(N)], G)
+        X_true[:, 2] += 2.0
+        for k in range(N):
+            m.alloc_keyframe(np.asarray(hom2cayley(
+                jnp.asarray(M_drift[k])), np.float64), None, k)
+            if k > 0:
+                m.kf_parent[k] = k - 1
+        ids = m.alloc_points(N * G)
+        for g in range(N):
+            grp = ids[g * G:(g + 1) * G]
+            A = M_drift[g] @ np.linalg.inv(M_true[g])
+            m.pt_pos[grp] = (X_true[g * G:(g + 1) * G] @ A[:3, :3].T
+                             + A[:3, 3]).astype(np.float32)
+            for i, p in enumerate(grp):
+                m.add_observation(int(p), g, 0, i)
+                if g + 1 < N:
+                    m.add_observation(int(p), g + 1, 0, G + i)
+        return m, M_true, M_drift, X_true, ids
+
+    def test_graph_repairs_mid_trajectory_drift(self, base_system):
+        m, M_true, M_drift, X_true, ids = self._build_drifted_map()
+        N = self.N_KF
+        closer = lc.LoopCloser(base_system.rig, m,
+                               make_loop_closer(base_system).voc,
+                               KeyFrameDatabase(), base_system._loop_params)
+        # ground-truth loop constraint between last KF and KF0 bodies
+        Trel = np.linalg.inv(M_true[N - 1]) @ M_true[0]
+        closer._correct_loop(N - 1, 0, s3.sim3_from_se3(jnp.asarray(Trel)))
+
+        def kf_err(poses):
+            pos = np.stack([np.asarray(cayley2hom(jnp.asarray(p)))[:3, 3]
+                            for p in poses])
+            return np.linalg.norm(pos - M_true[:N, :3, 3], axis=1)
+
+        err_before = np.linalg.norm(M_drift[:, :3, 3] - M_true[:, :3, 3],
+                                    axis=1)
+        err_after = kf_err([m.kf_pose[k] for k in range(N)])
+        mid = N // 2
+        # the mid-trajectory KF is NOT in the loop group: only the graph
+        # can move it
+        assert err_after[mid] < err_before[mid] / 3.0, \
+            f"mid KF: before {err_before[mid]:.3f} after {err_after[mid]:.3f}"
+        assert err_after.mean() < err_before.mean() / 5.0, \
+            f"ATE before {err_before.mean():.3f} after {err_after.mean():.3f}"
+        # points must follow their reference keyframes back
+        pt_err_before = np.linalg.norm(
+            (np.stack([M_drift[g] @ np.linalg.inv(M_true[g])
+                       for g in range(N)])[:, :3, :3]
+             @ X_true.reshape(N, self.PTS_PER_GROUP, 3).transpose(0, 2, 1)
+             ).transpose(0, 2, 1).reshape(-1, 3)
+            + np.repeat(np.stack(
+                [(M_drift[g] @ np.linalg.inv(M_true[g]))[:3, 3]
+                 for g in range(N)]), self.PTS_PER_GROUP, 0) - X_true,
+            axis=1).mean()
+        pt_err_after = np.linalg.norm(m.pt_pos[ids] - X_true, axis=1).mean()
+        assert pt_err_after < pt_err_before / 3.0, \
+            f"points: before {pt_err_before:.3f} after {pt_err_after:.3f}"
+
+
 class TestDetection:
     def test_no_loop_for_sequential_kfs(self, base_system):
         """Sequential covisible keyframes must NOT trigger loops."""
