@@ -39,6 +39,74 @@ CULL_FOUND_RATIO = 0.25           # MapPointCulling :199
 KF_CULL_REDUNDANT = 0.9           # KeyFrameCulling :585
 
 
+def assemble_ba_problem(m: MapStore, kfs: list[int], fixed_mask: np.ndarray,
+                        scale_factor: float, min_obs: int = 10):
+    """Assemble a static-shape BAProblem over the given keyframes (host
+    side of cOptimizer graph building, cOptimizer.cpp:57-257/461-874).
+
+    Returns (problem, mt0 (N,6), X0 (P,3), pts (P,), obs_list) or None
+    when there are fewer than ``min_obs`` observations. obs_list rows are
+    (xy, kf_index, cam, pt_index, inv_sigma2, kf_id, slot) for callers
+    that prune observations by chi2 afterwards.
+    """
+    kf_index = {k: i for i, k in enumerate(kfs)}
+    pts = set()
+    for lkf in kfs:
+        arr = m.kf_pt[lkf]
+        pts.update(int(p) for p in arr[arr >= 0] if m.pt_valid[p])
+    if not pts:
+        return None
+    pts = np.asarray(sorted(pts), np.int32)
+    pt_index = {int(p): i for i, p in enumerate(pts)}
+
+    obs_list = []
+    for p in pts:
+        for okf, cam, slot in m.pt_obs.get(int(p), []):
+            if okf not in kf_index:
+                continue
+            f = m.kf_features[okf]
+            if f is None:
+                continue
+            xy = np.asarray(f.xy[cam, slot])
+            lvl = int(f.level[cam, slot])
+            obs_list.append((xy, kf_index[okf], cam, pt_index[int(p)],
+                             scale_factor ** (-2.0 * lvl), okf, slot))
+    if len(obs_list) < min_obs:
+        return None
+    K = len(obs_list)
+    cap = bucket(K, 512) + 1
+    uv = np.zeros((cap, 2), np.float32)
+    kfi = np.zeros(cap, np.int32)
+    cami = np.zeros(cap, np.int32)
+    pti = np.zeros(cap, np.int32)
+    isig = np.ones(cap, np.float32)
+    valid = np.zeros(cap, bool)
+    for i, (xy, ki, c, pi, s2, _, _) in enumerate(obs_list):
+        uv[i], kfi[i], cami[i], pti[i], isig[i], valid[i] = \
+            xy, ki, c, pi, s2, True
+    obs = opt.BAObservations(
+        uv=jnp.asarray(uv), kf=jnp.asarray(kfi), cam=jnp.asarray(cami),
+        pt=jnp.asarray(pti), inv_sigma2=jnp.asarray(isig),
+        valid=jnp.asarray(valid))
+    # per-point obs table (padded with the guaranteed-invalid row cap-1)
+    max_obs = max(np.bincount(pti[:K], minlength=len(pts)).max(), 1)
+    Mo = bucket(int(max_obs), 4)
+    pt_obs_tab = np.full((len(pts), Mo), cap - 1, np.int32)
+    fill = np.zeros(len(pts), np.int32)
+    for i in range(K):
+        p = pti[i]
+        if fill[p] < Mo:
+            pt_obs_tab[p, fill[p]] = i
+            fill[p] += 1
+    problem = opt.BAProblem(
+        obs=obs, pt_obs=jnp.asarray(pt_obs_tab),
+        fixed_kf=jnp.asarray(fixed_mask),
+        fixed_pt=jnp.zeros(len(pts), bool))
+    mt0 = np.stack([m.kf_pose[k] for k in kfs])
+    X0 = m.pt_pos[pts].astype(np.float64)
+    return problem, mt0, X0, pts, obs_list
+
+
 @dataclasses.dataclass
 class LocalMapper:
     rig: Rig
@@ -362,15 +430,12 @@ class LocalMapper:
             pts.update(int(p) for p in arr[arr >= 0] if m.pt_valid[p])
         if not pts:
             return
-        pts = np.asarray(sorted(pts), np.int32)
         fixed = set()
         for p in pts:
             for okf, _, _ in m.pt_obs.get(int(p), []):
                 if okf not in local_set:
                     fixed.add(okf)
         kfs = local + sorted(fixed)
-        kf_index = {k: i for i, k in enumerate(kfs)}
-        pt_index = {int(p): i for i, p in enumerate(pts)}
         # always fix KF0 (gauge), plus the out-of-window observers
         fixed_mask = np.zeros(len(kfs), bool)
         for i, k in enumerate(kfs):
@@ -378,53 +443,10 @@ class LocalMapper:
                 fixed_mask[i] = True
         if not (~fixed_mask).any():
             return
-
-        obs_list = []
-        for p in pts:
-            for okf, cam, slot in m.pt_obs.get(int(p), []):
-                if okf not in kf_index:
-                    continue
-                f = m.kf_features[okf]
-                if f is None:
-                    continue
-                xy = np.asarray(f.xy[cam, slot])
-                lvl = int(f.level[cam, slot])
-                obs_list.append((xy, kf_index[okf], cam, pt_index[int(p)],
-                                 self.scale_factor ** (-2.0 * lvl),
-                                 okf, slot))
-        if len(obs_list) < 10:
+        built = assemble_ba_problem(m, kfs, fixed_mask, self.scale_factor)
+        if built is None:
             return
-        K = len(obs_list)
-        cap = bucket(K, 512) + 1
-        uv = np.zeros((cap, 2), np.float32)
-        kfi = np.zeros(cap, np.int32)
-        cami = np.zeros(cap, np.int32)
-        pti = np.zeros(cap, np.int32)
-        isig = np.ones(cap, np.float32)
-        valid = np.zeros(cap, bool)
-        for i, (xy, ki, c, pi, s2, _, _) in enumerate(obs_list):
-            uv[i], kfi[i], cami[i], pti[i], isig[i], valid[i] = \
-                xy, ki, c, pi, s2, True
-        obs = opt.BAObservations(
-            uv=jnp.asarray(uv), kf=jnp.asarray(kfi), cam=jnp.asarray(cami),
-            pt=jnp.asarray(pti), inv_sigma2=jnp.asarray(isig),
-            valid=jnp.asarray(valid))
-        # per-point obs table
-        max_obs = max(np.bincount(pti[:K], minlength=len(pts)).max(), 1)
-        Mo = bucket(int(max_obs), 4)
-        pt_obs_tab = np.full((len(pts), Mo), cap - 1, np.int32)
-        fill = np.zeros(len(pts), np.int32)
-        for i in range(K):
-            p = pti[i]
-            if fill[p] < Mo:
-                pt_obs_tab[p, fill[p]] = i
-                fill[p] += 1
-        problem = opt.BAProblem(
-            obs=obs, pt_obs=jnp.asarray(pt_obs_tab),
-            fixed_kf=jnp.asarray(fixed_mask),
-            fixed_pt=jnp.zeros(len(pts), bool))
-        mt0 = np.stack([m.kf_pose[k] for k in kfs])
-        X0 = m.pt_pos[pts].astype(np.float64)
+        problem, mt0, X0, pts, obs_list = built
         mt, X, chi2 = opt.bundle_adjustment(
             self.rig, jnp.asarray(mt0), jnp.asarray(X0), problem,
             huber=opt.HUBER_LOCAL, iters=self.ba_iters)

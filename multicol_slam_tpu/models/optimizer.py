@@ -270,10 +270,14 @@ def bundle_adjustment(rig: Rig, mt_min0: jax.Array, X0: jax.Array,
         Epad = jnp.where(ok_pad[..., None, None], Epad, 0.0)
         T = jnp.einsum("pmij,pjk->pmik", Epad, Ci)           # (P,M,6,3)
 
-        # Schur S = blockdiag(Hpp + lam I) - sum_p T E^T over kf pairs
-        contrib = jnp.einsum("pmik,pnjk->pmnij", T, Epad)    # (P,M,M,6,6)
+        # Schur S = blockdiag(Hpp + lam I) - sum_p T E^T over kf pairs.
+        # Accumulate one obs-row at a time: peak memory (P, M, 6, 6)
+        # instead of the (P, M, M, 6, 6) outer product, which at map
+        # scale (P=1e4, M=32) would be ~15 GB
         S = jnp.zeros((N, N, 6, 6))
-        S = S.at[kf_pad[:, :, None], kf_pad[:, None, :]].add(contrib)
+        for mrow in range(T.shape[1]):
+            contrib = jnp.einsum("pik,pnjk->pnij", T[:, mrow], Epad)
+            S = S.at[kf_pad[:, mrow, None], kf_pad].add(contrib)
         Sd = -S
         Sd = Sd.at[jnp.arange(N), jnp.arange(N)].add(
             Hpp + lam * jnp.eye(6)[None])
@@ -478,9 +482,12 @@ def self_calibrating_bundle_adjustment(rig: Rig, mt_min0: jax.Array,
         ok_pad = jnp.concatenate([obs.valid[pt_obs]] * 2, 1)
         Epad = jnp.where(ok_pad[..., None, None], Epad, 0.0)
         T = jnp.einsum("pmij,pjk->pmik", Epad, Ci)
-        contrib = jnp.einsum("pmik,pnjk->pmnij", T, Epad)
+        # row-at-a-time accumulation (see bundle_adjustment: avoids the
+        # (P, 2M, 2M, 6, 6) outer product)
         S = jnp.zeros((NV, NV, 6, 6))
-        S = S.at[vpad[:, :, None], vpad[:, None, :]].add(contrib)
+        for mrow in range(T.shape[1]):
+            contrib = jnp.einsum("pik,pnjk->pnij", T[:, mrow], Epad)
+            S = S.at[vpad[:, mrow, None], vpad].add(contrib)
         Sd = -S + H
         Sd = Sd.at[jnp.arange(NV), jnp.arange(NV)].add(lam * jnp.eye(6)[None])
         Tg = jnp.einsum("pmik,pk->pmi", T, gx)

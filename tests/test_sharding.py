@@ -83,3 +83,33 @@ def test_sharded_matches_single_device(rig):
                          jnp.float64(1e-4))
     np.testing.assert_allclose(np.asarray(mt_s), np.asarray(mt_1), atol=1e-10)
     np.testing.assert_allclose(np.asarray(X_s), np.asarray(X_1), atol=1e-10)
+
+
+def test_full_sharded_lm_matches_bundle_adjustment(rig):
+    """The multi-iteration sharded LM (make_sharded_ba) must reproduce
+    the single-device bundle_adjustment end-to-end: same lambda schedule,
+    same accept/reject, same Schur math -> same optimum."""
+    mesh = Mesh(np.array(jax.devices()[:8]), (ba_sharding.OBS_AXIS,))
+    rng = np.random.default_rng(2)
+    Pn = 60
+    X = gen_world_points(rng, Pn)
+    mt_all = np.stack([np.zeros(6),
+                       np.array([0.01, -0.01, 0.02, 0.25, 0.05, -0.1])])
+    obs, pt_obs = build_ba_problem(rig, mt_all, X, rng, noise=0.5)
+    obs = ba_sharding.pad_obs_to_multiple(obs, 8)
+    fixed_kf = jnp.asarray([True, False])
+    fixed_pt = jnp.zeros(Pn, bool)
+
+    mt0 = jnp.asarray(mt_all).at[1].add(0.004)
+    X0 = jnp.asarray(X + rng.standard_normal(X.shape) * 0.01)
+
+    ba = ba_sharding.make_sharded_ba(mesh, rig, n_kf=2, n_pt=Pn, iters=6)
+    mt_s, X_s, cost_s = ba(mt0, X0, obs, pt_obs, fixed_kf, fixed_pt)
+
+    problem = opt.BAProblem(obs=obs, pt_obs=pt_obs, fixed_kf=fixed_kf,
+                            fixed_pt=fixed_pt)
+    mt_r, X_r, chi2 = opt.bundle_adjustment(rig, mt0, X0, problem, iters=6)
+    np.testing.assert_allclose(np.asarray(mt_s), np.asarray(mt_r), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(X_s), np.asarray(X_r), atol=1e-8)
+    # and it actually converged
+    assert float(cost_s) < 1e3
