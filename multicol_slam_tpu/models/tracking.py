@@ -168,6 +168,12 @@ class Tracker:
         self.on_new_keyframe = None        # fn(kf_id)
         self.reloc_candidates_fn = None    # fn(Features) -> list[int] (BoW)
         self.force_reloc = False
+        # fault injection (SURVEY 5.3): optional per-frame pose
+        # perturbation applied after a successful track and BEFORE the
+        # keyframe decision, so keyframes/points inherit the error like
+        # real accumulated odometry drift (used to exercise loop closing
+        # on drift-free synthetic worlds)
+        self.perturb_pose_fn = None        # fn(mt_min6, frame_id) -> mt_min6
 
     # ------------------------------------------------------------------
 
@@ -220,6 +226,9 @@ class Tracker:
 
             if ok:
                 self.state = TrackState.WORKING
+                if self.perturb_pose_fn is not None:
+                    self.cur_mt = np.asarray(
+                        self.perturb_pose_fn(self.cur_mt, self.frame_id))
                 if self._need_new_keyframe():
                     self._create_new_keyframe()
                 # motion model V = M_last^-1 * M_cur  (cTracking.cpp:327-338)
@@ -612,7 +621,10 @@ class Tracker:
         pids = self.cur_pt[cam_idx, slot_idx]
         alive = m.pt_valid[pids]
         cam_idx, slot_idx, pids = cam_idx[alive], slot_idx[alive], pids[alive]
-        if len(pids) >= 12:
+        if len(pids) >= 6:
+            # minimal GP3P hypotheses (3 points each): usable in the
+            # sparse-match regime the reference relocalizes in
+            # (cTracking.cpp:1234-1266)
             from ..ops import ransac as ransac_ops
             rays = np.asarray(self.cur_feats.ray)[cam_idx, slot_idx]
             Mc = np.asarray(self.rig.M_c, np.float64)
@@ -625,8 +637,9 @@ class Tracker:
             T, inl, n_in = ransac_ops.ransac_gpnp(
                 self._next_key(), jnp.asarray(padf(origins)),
                 jnp.asarray(padf(dirs)), jnp.asarray(padf(X)),
-                jnp.asarray(np.arange(cap) < len(pids)), n_hyps=256)
-            if int(n_in) >= 10:
+                jnp.asarray(np.arange(cap) < len(pids)), n_hyps=256,
+                sample_size=3)
+            if int(n_in) >= max(6, int(0.4 * len(pids))):
                 M_body = np.linalg.inv(np.asarray(T))   # body -> world
                 mt_init = np.asarray(hom2cayley(jnp.asarray(M_body)))
 

@@ -104,12 +104,74 @@ def ransac_essential(key: jax.Array, v1: jax.Array, v2: jax.Array,
     inl = (errs < threshold) & valid[None, :]
     scores = jnp.sum(inl, 1)
     best = jnp.argmax(scores)
-    return Es[best], inl[best], scores[best]
+    # all-inlier refit of the winner (the non-minimal polish the
+    # reference gets from optimizing over the RANSAC consensus set):
+    # weight rows by the inlier mask so the shape stays static
+    wbest = inl[best].astype(v1.dtype)[:, None]
+    E_ref = essential_8pt(v1 * wbest, v2 * wbest)
+    err_ref = _epipolar_err(E_ref, v1, v2)
+    inl_ref = (err_ref < threshold) & valid
+    better = jnp.sum(inl_ref) >= scores[best]
+    E_out = jnp.where(better, E_ref, Es[best])
+    inl_out = jnp.where(better, inl_ref, inl[best])
+    return E_out, inl_out, jnp.sum(inl_out)
 
 
 # ---------------------------------------------------------------------------
 # Non-central absolute pose (relocalization)
 # ---------------------------------------------------------------------------
+
+def gp3p(origins: jax.Array, dirs: jax.Array, X: jax.Array,
+         d0: jax.Array, iters: int = 16) -> jax.Array:
+    """Minimal 3-point generalized (non-central) absolute pose — the
+    role of OpenGV's GP3P in relocalization RANSAC
+    (cTracking.cpp:1234-1266).
+
+    TPU-first formulation instead of the Groebner-basis octic: the three
+    unknown depths d_i place the points q_i = o_i + d_i f_i in the BODY
+    frame; rigidity gives three pairwise-distance equations
+    |q_i - q_j|^2 = |X_i - X_j|^2, solved by damped Newton from a given
+    depth seed (the octic's up-to-8 roots are recovered across RANSAC
+    hypotheses x multiple seeds — each (sample, seed) is one lane of a
+    vmap batch). The body<-world pose then follows from Horn's 3-point
+    absolute orientation with unit scale.
+
+    origins, dirs, X: (3, 3); d0: (3,) positive depth seed.
+    Returns (T world->body (4,4), residual norm of the distance system).
+    """
+    from .sim3 import horn_alignment
+
+    D2 = jnp.stack([
+        jnp.sum((X[0] - X[1]) ** 2),
+        jnp.sum((X[0] - X[2]) ** 2),
+        jnp.sum((X[1] - X[2]) ** 2)])
+
+    def F(d):
+        q = origins + d[:, None] * dirs
+        return jnp.stack([
+            jnp.sum((q[0] - q[1]) ** 2),
+            jnp.sum((q[0] - q[2]) ** 2),
+            jnp.sum((q[1] - q[2]) ** 2)]) - D2
+
+    def body(_, d):
+        r = F(d)
+        J = jax.jacfwd(F)(d)
+        # damped Newton step; keep depths positive
+        step = jnp.linalg.solve(J + 1e-9 * jnp.eye(3, dtype=d.dtype), r)
+        step = jnp.clip(step, -0.5 * jnp.abs(d) - 1.0,
+                        0.5 * jnp.abs(d) + 1.0)
+        return jnp.maximum(d - step, 1e-4)
+
+    d = jax.lax.fori_loop(0, iters, body, d0)
+    # scale-relative residual (f32-safe convergence signal)
+    res = jnp.linalg.norm(F(d)) / (1.0 + jnp.sum(D2))
+    q = origins + d[:, None] * dirs
+    S = horn_alignment(q, X, fix_scale=True)   # q = R X + t (world->body)
+    T = jnp.eye(4, dtype=X.dtype)
+    T = T.at[:3, :3].set(S.R)
+    T = T.at[:3, 3].set(S.t)
+    return T, res
+
 
 def gpnp_dlt(origins: jax.Array, dirs: jax.Array, X: jax.Array) -> jax.Array:
     """Generalized-camera absolute pose from >= 6 ray/point pairs.
@@ -169,20 +231,46 @@ def _ray_angle_err(T: jax.Array, origins, dirs, X):
     return 1.0 - jnp.einsum("ni,ni->n", v, dirs)
 
 
+DEPTH_SEEDS = (0.3, 1.0, 3.0, 10.0)
+
+
 @functools.partial(jax.jit, static_argnames=("n_hyps", "sample_size"))
 def ransac_gpnp(key: jax.Array, origins: jax.Array, dirs: jax.Array,
                 X: jax.Array, valid: jax.Array, *,
                 threshold: float = 1e-4, n_hyps: int = 256,
-                sample_size: int = 6):
+                sample_size: int = 3):
     """Batched non-central absolute pose RANSAC (the GP3P-RANSAC role,
     threshold 1e-4 on (1-cos) ray residuals like cTracking.cpp:1256).
+
+    sample_size=3 (default) draws MINIMAL GP3P hypotheses, each solved
+    from several depth seeds (one vmap lane per (sample, seed) pair) —
+    the same per-hypothesis support as the reference's OpenGV GP3P, so
+    relocalization works in the sparse-match regime; larger sample
+    sizes fall back to the 6+-point DLT. Best hypothesis is refit on its
+    inliers with the DLT (the reference's gpnp refinement role).
 
     Returns (T_body_from_world (4,4), inlier_mask, n_inliers)."""
     n = X.shape[0]
     w = valid.astype(jnp.float32)
     idx = sample_minimal_sets(key, n_hyps, sample_size, n, w)
-    Ts = jax.vmap(lambda i: gpnp_dlt(origins[i], dirs[i], X[i]))(idx)
+    if sample_size == 3:
+        seeds = jnp.asarray(DEPTH_SEEDS, X.dtype)
+
+        def solve_one(i):
+            Ts, res = jax.vmap(
+                lambda s: gp3p(origins[i], dirs[i], X[i],
+                               jnp.full(3, s, X.dtype)))(seeds)
+            # keep only converged roots: non-converged seeds get a pose
+            # that scores ~0 inliers anyway, but poison them explicitly
+            bad = res > 1e-4
+            return jnp.where(bad[:, None, None],
+                             jnp.eye(4, dtype=X.dtype) * jnp.inf, Ts)
+
+        Ts = jax.vmap(solve_one)(idx).reshape(-1, 4, 4)
+    else:
+        Ts = jax.vmap(lambda i: gpnp_dlt(origins[i], dirs[i], X[i]))(idx)
     errs = jax.vmap(lambda T: _ray_angle_err(T, origins, dirs, X))(Ts)
+    errs = jnp.where(jnp.isfinite(errs), errs, jnp.inf)
     inl = (errs < threshold) & valid[None, :]
     scores = jnp.sum(inl, 1)
     best = jnp.argmax(scores)

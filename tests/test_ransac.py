@@ -151,3 +151,37 @@ class TestGPnP:
         clean = np.setdiff1d(np.arange(n), bad)
         assert inl[clean].mean() > 0.95
         assert inl[bad].mean() < 0.05
+
+    def test_gp3p_minimal_regime(self):
+        """8 total matches, 3 gross outliers -> only 5 inliers. A
+        6-point DLT hypothesis can never be all-inlier here, but the
+        3-point GP3P recovers the pose — the sparse-match
+        relocalization regime of the reference's OpenGV GP3P RANSAC
+        (cTracking.cpp:1234-1266)."""
+        from multicol_slam_tpu.utils import config_io
+        from multicol_slam_tpu.ops import geometry as geo
+        rig, _ = config_io.load_mcs("/root/reference/Examples/Lafida",
+                                    dtype=np.float64)
+        rng = np.random.default_rng(12)
+        mt_true = np.array([0.02, -0.03, 0.04, 0.15, -0.1, 0.3])
+        n = 8
+        o, d, X, bad = self.make_problem(rng, rig, n, mt_true,
+                                         outlier_frac=3.0 / 8.0)
+        M_t = np.asarray(geo.cayley2hom(jnp.asarray(mt_true)))
+        T_true = np.linalg.inv(M_t)
+
+        T3, inl3, n3 = ransac.ransac_gpnp(
+            jax.random.PRNGKey(7), jnp.asarray(o), jnp.asarray(d),
+            jnp.asarray(X), jnp.ones(n, bool), n_hyps=512, sample_size=3)
+        err3 = np.abs(np.asarray(T3) - T_true).max()
+        assert int(n3) >= 4, f"gp3p found only {int(n3)} inliers"
+        assert err3 < 1e-5, f"gp3p pose error {err3}"
+        inl3 = np.asarray(inl3)
+        assert inl3[bad].sum() == 0
+
+        T6, inl6, n6 = ransac.ransac_gpnp(
+            jax.random.PRNGKey(7), jnp.asarray(o), jnp.asarray(d),
+            jnp.asarray(X), jnp.ones(n, bool), n_hyps=512, sample_size=6)
+        err6 = np.abs(np.asarray(T6) - T_true).max()
+        assert err6 > 100 * max(err3, 1e-12), \
+            f"DLT unexpectedly solved the minimal regime: {err6} vs {err3}"
