@@ -51,6 +51,14 @@ class MapStore:
         self.pt_first_kf = np.full(P, -1, np.int32)
         self.pt_obs: dict[int, list[tuple[int, int, int]]] = defaultdict(list)
         self.pt_replaced: dict[int, int] = {}   # old id -> merged-into id
+        # replacement forwarding as a flat table (vectorized resolution)
+        self.pt_forward = np.arange(P, dtype=np.int32)
+        # incremental covisibility (cMultiKeyFrame::UpdateConnections kept
+        # live on add/erase instead of re-scanned per query):
+        # _covis[kf][other] = #shared map points; _pt_kfs[pt][kf] =
+        # observation multiplicity of pt in kf (multi-camera -> can be >1)
+        self._covis: dict[int, dict[int, int]] = defaultdict(dict)
+        self._pt_kfs: dict[int, dict[int, int]] = {}
 
         self.kf_valid = np.zeros(N, bool)
         self.kf_pose = np.zeros((N, 6), np.float64)   # M_t cayley (body->world)
@@ -83,16 +91,18 @@ class MapStore:
     def resolve_points(self, ids: np.ndarray) -> np.ndarray:
         """Follow replacement forwarding for an int32 array of point ids
         (-1 passes through); dead unreplaced ids stay as-is (callers
-        filter by pt_valid)."""
+        filter by pt_valid). Vectorized: iterate the flat forwarding
+        table to a fixpoint (chains are short; merges only ever point at
+        older-or-newer live ids, never cycles)."""
         out = np.asarray(ids).copy()
         flat = out.reshape(-1)
-        for i in range(flat.size):
-            p = flat[i]
-            hops = 0
-            while p >= 0 and p in self.pt_replaced and hops < 32:
-                p = self.pt_replaced[p]
-                hops += 1
-            flat[i] = p
+        live = flat >= 0
+        for _ in range(32):
+            nxt = np.where(live, self.pt_forward[np.clip(flat, 0, None)],
+                           flat)
+            if np.array_equal(nxt, flat):
+                break
+            flat[...] = nxt
         return out
 
     def alloc_keyframe(self, pose_min: np.ndarray, feats: Features,
@@ -111,9 +121,38 @@ class MapStore:
     # observations
     # ------------------------------------------------------------------
 
+    def _covis_link(self, pt: int, kf: int):
+        """kf gained its FIRST observation of pt (multiplicity 0 -> 1):
+        bump the pair count with every other observing keyframe."""
+        c = self._pt_kfs.setdefault(pt, {})
+        if c.get(kf, 0) == 0:
+            for other in c:
+                self._covis[kf][other] = self._covis[kf].get(other, 0) + 1
+                self._covis[other][kf] = self._covis[other].get(kf, 0) + 1
+        c[kf] = c.get(kf, 0) + 1
+
+    def _covis_unlink(self, pt: int, kf: int):
+        c = self._pt_kfs.get(pt)
+        if not c or kf not in c:
+            return
+        c[kf] -= 1
+        if c[kf] == 0:
+            del c[kf]
+            for other in c:
+                w = self._covis[kf].get(other, 0) - 1
+                if w > 0:
+                    self._covis[kf][other] = w
+                    self._covis[other][kf] = w
+                else:
+                    self._covis[kf].pop(other, None)
+                    self._covis[other].pop(kf, None)
+            if not c:
+                self._pt_kfs.pop(pt, None)
+
     def add_observation(self, pt: int, kf: int, cam: int, slot: int):
         self.pt_obs[pt].append((kf, cam, slot))
         self.kf_pt[kf, cam, slot] = pt
+        self._covis_link(pt, kf)
 
     def erase_observation(self, pt: int, kf: int, cam: int, slot: int):
         try:
@@ -122,6 +161,7 @@ class MapStore:
             return
         if self.kf_pt[kf, cam, slot] == pt:
             self.kf_pt[kf, cam, slot] = -1
+        self._covis_unlink(pt, kf)
         # a point with < 2 observations is no landmark (cMapPoint SetBadFlag
         # trigger in EraseObservation)
         if len(self.pt_obs[pt]) < 2:
@@ -133,24 +173,37 @@ class MapStore:
         for kf, cam, slot in self.pt_obs.pop(pt, []):
             if self.kf_pt[kf, cam, slot] == pt:
                 self.kf_pt[kf, cam, slot] = -1
+            self._covis_unlink(pt, kf)
         self.pt_valid[pt] = False
 
     def replace_point(self, old: int, new: int):
-        """cMapPoint::Replace - rebind all observations of ``old`` to
-        ``new`` (skipping keyframe slots where new already appears)."""
+        """cMapPoint::Replace (cMapPoint.cpp:231-239) - rebind all
+        observations of ``old`` to ``new``; where ``new`` is already
+        observed in the same (keyframe, camera), the old match is ERASED
+        instead of duplicated (a duplicate would double-count BA
+        residuals and inflate covisibility)."""
         if old == new or not self.pt_valid[old]:
             return
         for kf, cam, slot in self.pt_obs.pop(old, []):
-            existing = [o for o in self.pt_obs[new] if o[0] == kf and o[1] == cam]
+            self._covis_unlink(old, kf)
+            existing = [o for o in self.pt_obs[new]
+                        if o[0] == kf and o[1] == cam]
             if any(s == slot for _, _, s in existing):
                 self.kf_pt[kf, cam, slot] = new
-                continue
-            self.pt_obs[new].append((kf, cam, slot))
-            self.kf_pt[kf, cam, slot] = new
+            elif existing:
+                # new already matched elsewhere in this (kf, cam): drop
+                # old's slot rather than double-observe
+                if self.kf_pt[kf, cam, slot] == old:
+                    self.kf_pt[kf, cam, slot] = -1
+            else:
+                self.pt_obs[new].append((kf, cam, slot))
+                self.kf_pt[kf, cam, slot] = new
+                self._covis_link(new, kf)
         self.pt_found[new] += self.pt_found[old]
         self.pt_visible[new] += self.pt_visible[old]
         self.pt_valid[old] = False
         self.pt_replaced[old] = new
+        self.pt_forward[old] = new
 
     def remove_keyframe(self, kf: int):
         """cMultiKeyFrame::SetBadFlag (simplified: observations detached,
@@ -174,18 +227,23 @@ class MapStore:
     def covisibility_weights(self, kf: int) -> dict[int, int]:
         """#shared map points between ``kf`` and every other keyframe.
 
-        Runs on the native host runtime (runtime/mapcore.cpp
-        covisibility_counts) over the flat observation table derived
-        from kf_pt; cMultiKeyFrame::UpdateConnections semantics."""
-        from .. import runtime
-        kfm, _, _ = np.nonzero(self.kf_pt >= 0)
-        if len(kfm) == 0:
-            return {}
-        obs_pt = self.kf_pt[self.kf_pt >= 0].astype(np.int32)
-        ids, counts = runtime.covisibility_counts(
-            obs_pt, kfm.astype(np.int32), kf, self.capacity_kfs - 1)
-        return {int(i): int(c) for i, c in zip(ids, counts)
-                if self.kf_valid[i]}
+        Served from the INCREMENTAL pair-count table maintained by
+        add/erase/replace (cMultiKeyFrame::UpdateConnections semantics,
+        cMultiKeyFrame.cpp:406-500, kept live like the reference instead
+        of re-scanning the observation table per query) — O(neighbors)
+        per call regardless of map size."""
+        return {k: w for k, w in self._covis.get(kf, {}).items()
+                if self.kf_valid[k]}
+
+    def recompute_covisibility(self):
+        """Full rebuild of the incremental covisibility state from
+        pt_obs (checkpoint load; invariant tests compare this against
+        the live-maintained counts)."""
+        self._covis = defaultdict(dict)
+        self._pt_kfs = {}
+        for pt, lst in self.pt_obs.items():
+            for kf, _, _ in lst:
+                self._covis_link(pt, kf)
 
     def covisible_keyframes(self, kf: int, min_weight: int = 15,
                             best_n: int | None = None) -> list[int]:

@@ -37,7 +37,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _tried:
         return None
     _tried = True
-    if not os.path.exists(_LIB_PATH) and not _build():
+    stale = (os.path.exists(_LIB_PATH)
+             and os.path.getmtime(_LIB_PATH)
+             < os.path.getmtime(os.path.join(_HERE, "mapcore.cpp")))
+    if (not os.path.exists(_LIB_PATH) or stale) and not _build() and stale:
+        # stale binary + no toolchain: refuse to run old native code
+        return None
+    if not os.path.exists(_LIB_PATH):
         return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)

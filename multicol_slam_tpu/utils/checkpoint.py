@@ -19,6 +19,12 @@ from ..models.extractor import Features
 from ..models.map import MapStore
 
 
+def _normalize(path: str) -> str:
+    """np.savez_compressed appends '.npz' when missing; normalize so
+    save_map(p) / load_map(p) agree for any user-supplied path."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_map(path: str, m: MapStore, extra: dict | None = None) -> None:
     arrays = {
         "pt_valid": m.pt_valid, "pt_pos": m.pt_pos, "pt_desc": m.pt_desc,
@@ -58,11 +64,11 @@ def save_map(path: str, m: MapStore, extra: dict | None = None) -> None:
                 desc_words=m.desc_words, extra=extra or {})
     arrays["_meta_json"] = np.frombuffer(
         json.dumps(meta).encode(), np.uint8)
-    np.savez_compressed(path, **arrays)
+    np.savez_compressed(_normalize(path), **arrays)
 
 
 def load_map(path: str) -> tuple[MapStore, dict]:
-    z = np.load(path, allow_pickle=False)
+    z = np.load(_normalize(path), allow_pickle=False)
     meta = json.loads(bytes(z["_meta_json"]).decode())
     m = MapStore(capacity_pts=meta["capacity_pts"],
                  capacity_kfs=meta["capacity_kfs"], n_cams=meta["n_cams"],
@@ -77,6 +83,8 @@ def load_map(path: str) -> tuple[MapStore, dict]:
         m.pt_obs[int(p)].append((int(kf), int(cam), int(slot)))
     for a, b in z["pt_replaced"]:
         m.pt_replaced[int(a)] = int(b)
+        m.pt_forward[int(a)] = int(b)
+    m.recompute_covisibility()
     for kf, e in z["loop_edges"]:
         m.kf_loop_edges[int(kf)].add(int(e))
     feat_fields = list(Features._fields)
