@@ -38,6 +38,11 @@ class KeyFrameDatabase:
             except ValueError:
                 pass
 
+    def clear(self):
+        """cMultiKeyFrameDatabase::clear (system Reset propagation)."""
+        self.inverted.clear()
+        self.kf_bow.clear()
+
     # ------------------------------------------------------------------
 
     def _shared_word_counts(self, bow: dict[int, float],

@@ -118,18 +118,37 @@ class LocalMapper:
 
     def __post_init__(self):
         self.recent_pts: list[tuple[int, int]] = []   # (pt, created_at_kf)
+        # InterruptBA (cTracking.cpp:931, cLocalMapping.cpp:512-515):
+        # when this callable reports a pending keyframe, the expensive
+        # tail stages yield to it — the reference aborts a running local
+        # BA via mbAbortBA; here the abort granularity is between stages
+        # (each stage is one fast jitted call)
+        self.interrupt_check = None
+
+    def _interrupted(self) -> bool:
+        return bool(self.interrupt_check is not None and self.interrupt_check())
 
     # ------------------------------------------------------------------
 
     def process_keyframe(self, kf: int):
-        """One full local-mapping pass for a new keyframe."""
+        """One full local-mapping pass for a new keyframe. Stage order +
+        interrupt points mirror cLocalMapping::Run (:69-129): fuse only
+        runs when no new keyframe is queued, local BA + keyframe culling
+        only when still uninterrupted."""
         self._update_point_stats_for_kf(kf)
         self._cull_map_points(kf)
         self._create_new_map_points(kf)
         self._create_cross_camera_points(kf)
-        self._fuse_in_neighbors(kf)
-        self._local_bundle_adjustment(kf)
-        self._cull_keyframes(kf)
+        if not self._interrupted():
+            self._fuse_in_neighbors(kf)
+        if not self._interrupted():
+            self._local_bundle_adjustment(kf)
+            self._cull_keyframes(kf)
+
+    def reset(self):
+        """cLocalMapping::RequestReset effect: drop probation lists so a
+        fresh map never sees stale point ids (cTracking.cpp:1327-1375)."""
+        self.recent_pts.clear()
 
     # ------------------------------------------------------------------
 

@@ -63,6 +63,16 @@ class LoopCloser:
         self.on_loop = None          # callback(kf, loop_kf) after correction
         self.key = jax.random.PRNGKey(7)
 
+    def reset(self):
+        """cLoopClosing::RequestReset effect (cTracking.cpp:1327-1375):
+        clear the inverted file + BoW caches so reused keyframe ids from
+        a fresh map never collide with the dead map's entries."""
+        self.db.clear()
+        self.kf_words.clear()
+        self.kf_nodes.clear()
+        self.consistent_groups.clear()
+        self.last_loop_kf = -MIN_KFS_BETWEEN_LOOPS
+
     # ------------------------------------------------------------------
 
     def _bow_of_kf(self, kf: int):

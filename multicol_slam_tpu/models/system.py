@@ -112,8 +112,12 @@ class MultiColSLAM:
                 target=self._mapper_loop, daemon=True)
             self._mapper_thread.start()
             self.tracker.on_new_keyframe = self._kf_queue.put
+            # InterruptBA: a queued keyframe makes the running mapping
+            # pass yield its BA/fuse stages (cLocalMapping.cpp:512-515)
+            self.mapper.interrupt_check = lambda: not self._kf_queue.empty()
         else:
             self.tracker.on_new_keyframe = self._process_kf
+        self.tracker.on_reset = self._on_reset
 
     # ------------------------------------------------------------------
 
@@ -179,6 +183,21 @@ class MultiColSLAM:
         bow = vocab_mod.bow_vector(lc.voc, np.asarray(words))
         return lc.db.detect_reloc_candidates(bow, self.map)
 
+    def _on_reset(self):
+        """Reset fan-out (cTracking::Reset clears mapper, loop closer,
+        KF database + id counters, cTracking.cpp:1327-1375): runs on
+        both explicit System.reset and the tracker's internal young-map
+        reset, so reused keyframe/point ids never meet stale entries."""
+        if self.async_mapping:
+            try:
+                while True:
+                    self._kf_queue.get_nowait()
+            except queue.Empty:
+                pass
+        self.mapper.reset()
+        if self.loop_closer is not None:
+            self.loop_closer.reset()
+
     def _after_loop(self, kf: int, loop_kf: int):
         # the map moved under the tracker (cLoopClosing calls
         # ForceRelocalisation on the tracker, cLoopClosing.cpp:575)
@@ -216,7 +235,10 @@ class MultiColSLAM:
         return self.tracker.state
 
     def reset(self):
-        self.tracker.reset()
+        """cSystem/cTracking::Reset (cTracking.cpp:1327-1375): clears the
+        map AND the mapper's probation lists AND the loop closer's
+        database/caches, so a re-initialized map's reused ids are clean."""
+        self.tracker.reset()   # on_reset fans out to mapper + loop closer
 
     def shutdown(self):
         """cSystem::Shutdown: stop the worker and wait for it to finish

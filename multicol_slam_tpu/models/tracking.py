@@ -166,6 +166,7 @@ class Tracker:
 
         # callbacks wired by the System
         self.on_new_keyframe = None        # fn(kf_id)
+        self.on_reset = None               # fn(): reset fan-out
         self.reloc_candidates_fn = None    # fn(Features) -> list[int] (BoW)
         self.force_reloc = False
         # fault injection (SURVEY 5.3): optional per-frame pose
@@ -651,13 +652,22 @@ class Tracker:
     # ------------------------------------------------------------------
 
     def reset(self):
-        """cTracking::Reset (:1327-1375)."""
+        """cTracking::Reset (:1327-1375). ``on_reset`` (wired by the
+        System) propagates the reset to the mapper + loop closer, like
+        the reference's RequestReset fan-out."""
         self.map.clear()
         self.state = TrackState.NOT_INITIALIZED
         self.velocity = None
         self.init_ref_feats = None
         self.last_kf_id = -1
+        self.force_reloc = False
         self.cur_pt = np.full_like(self.cur_pt, -1) \
             if self.cur_pt is not None else None
+        self.last_pt = None
+        self.last_outlier = None
         self.all_poses.clear()
         self.timestamps.clear()
+        self.inlier_ratios.clear()
+        self.n_tracked.clear()
+        if getattr(self, "on_reset", None):
+            self.on_reset()
