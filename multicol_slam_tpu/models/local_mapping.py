@@ -487,21 +487,44 @@ class LocalMapper:
 
     def _cull_keyframes(self, kf: int):
         """KeyFrameCulling (:517-593): a covisible KF is redundant if 90%
-        of its points are seen by >= 3 other KFs (reference: >= 4 incl.
-        itself) at finer-or-equal scale (scale check omitted: host
-        bookkeeping keeps observation levels out of the hot path)."""
+        of its landmarks are seen by >= 3 OTHER keyframes at
+        finer-or-equal scale (level <= own level + 1 — the reference's
+        scale condition; without it a KF whose points are only seen
+        coarsely elsewhere would be over-culled)."""
         m = self.map
         for cand in m.covisible_keyframes(kf):
             if cand == 0 or not m.kf_valid[cand]:
                 continue
-            arr = m.kf_pt[cand]
-            pts = arr[arr >= 0]
-            if len(pts) == 0:
+            f_cand = m.kf_features[cand]
+            if f_cand is None:
+                continue
+            lvl_cand = np.asarray(f_cand.level)
+            cams, slots = np.nonzero(m.kf_pt[cand] >= 0)
+            if len(cams) == 0:
                 continue
             redundant = 0
-            for p in np.unique(pts):
-                n_kfs = len({o[0] for o in m.pt_obs.get(int(p), [])})
-                if n_kfs >= 4:
+            total = 0
+            levels_cache: dict[int, np.ndarray] = {}
+            for c, s in zip(cams, slots):
+                p = int(m.kf_pt[cand, c, s])
+                total += 1
+                own_lvl = int(lvl_cand[c, s])
+                n_finer = 0
+                for okf, ocam, oslot in m.pt_obs.get(p, []):
+                    if okf == cand:
+                        continue
+                    lv = levels_cache.get(okf)
+                    if lv is None:
+                        fo = m.kf_features[okf]
+                        if fo is None:
+                            continue
+                        lv = np.asarray(fo.level)
+                        levels_cache[okf] = lv
+                    if int(lv[ocam, oslot]) <= own_lvl + 1:
+                        n_finer += 1
+                        if n_finer >= 3:
+                            break
+                if n_finer >= 3:
                     redundant += 1
-            if redundant > KF_CULL_REDUNDANT * len(np.unique(pts)):
+            if redundant > KF_CULL_REDUNDANT * total:
                 m.remove_keyframe(cand)

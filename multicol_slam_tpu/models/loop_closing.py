@@ -185,6 +185,42 @@ class LoopCloser:
                 pairs.append((p1, p2, c1, s1, c2, s2))
         return pairs
 
+    def bow_match_frame(self, kf: int, feats) -> list[tuple[int, int, int]]:
+        """SearchByBoW(KF, F) (cORBmatcher.cpp:179-323): match the
+        keyframe's landmark-carrying slots against a frame's features,
+        gated to equal vocabulary nodes — the relocalization matcher the
+        reference uses instead of brute force. Returns
+        (point_id, frame_cam, frame_slot) triples."""
+        m = self.map
+        f1 = m.kf_features[kf]
+        if f1 is None:
+            return []
+        _, nodes1 = self._bow_of_kf(kf)
+        C, K = m.kf_pt.shape[1:3]
+        from ..ops import hamming as hm
+        desc2 = jnp.reshape(feats.desc, (-1, feats.desc.shape[-1]))
+        valid2 = jnp.reshape(feats.valid, (-1,))
+        _, nodes2 = transform_words(self.voc, desc2, valid2)
+        d1 = np.asarray(f1.desc).reshape(-1, f1.desc.shape[-1])
+        has1 = (m.kf_pt[kf] >= 0).reshape(-1)
+        dist = hm.hamming_matrix(jnp.asarray(d1), desc2)
+        gate = jnp.asarray(has1)[:, None] & valid2[None, :]
+        gate &= nodes1.reshape(-1)[:, None] == np.asarray(nodes2)[None, :]
+        match, best_d = hm.gated_nn_match(dist, jnp.asarray(gate),
+                                          max_dist=self.params.th_low,
+                                          nn_ratio=0.75)
+        match = np.asarray(
+            hm.resolve_duplicate_targets(match, best_d, int(desc2.shape[0])))
+        K2 = feats.desc.shape[1]
+        out = []
+        for i in np.nonzero(match >= 0)[0]:
+            c1, s1 = divmod(int(i), K)
+            p = int(m.kf_pt[kf, c1, s1])
+            if p >= 0 and m.pt_valid[p]:
+                c2, s2 = divmod(int(match[i]), K2)
+                out.append((p, c2, s2))
+        return out
+
     def _body_frame_points(self, kf: int, pt_ids) -> np.ndarray:
         M = np.asarray(cayley2hom(jnp.asarray(self.map.kf_pose[kf])))
         Minv = np.linalg.inv(M)

@@ -168,6 +168,7 @@ class MultiColSLAM:
                                       fuser=self.mapper)
         self.loop_closer.on_loop = self._after_loop
         self.tracker.reloc_candidates_fn = self._reloc_candidates
+        self.tracker.reloc_bow_match_fn = self.loop_closer.bow_match_frame
 
     def _reloc_candidates(self, feats):
         """BoW relocalization candidates (DetectRelocalisationCandidates,

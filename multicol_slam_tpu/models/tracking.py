@@ -168,6 +168,7 @@ class Tracker:
         self.on_new_keyframe = None        # fn(kf_id)
         self.on_reset = None               # fn(): reset fan-out
         self.reloc_candidates_fn = None    # fn(Features) -> list[int] (BoW)
+        self.reloc_bow_match_fn = None     # fn(kf, Features) -> [(pt, c, s)]
         self.force_reloc = False
         # fault injection (SURVEY 5.3): optional per-frame pose
         # perturbation applied after a successful track and BEFORE the
@@ -595,23 +596,30 @@ class Tracker:
             f_kf = m.kf_features[kf]
             if f_kf is None:
                 continue
-            kf_has = jnp.asarray(m.kf_pt[kf] >= 0)
-            match = matcher.window_search(
-                f_kf, self.cur_feats, kf_has, self.params,
-                window=1e6, nn_ratio=0.75, use_low_th=True)
-            match = np.asarray(match)
-            n = int((match >= 0).sum())
+            if self.reloc_bow_match_fn is not None:
+                # vocabulary-node-gated SearchByBoW (cORBmatcher.cpp:
+                # 179-323) — the reference's relocalization matcher
+                triples = self.reloc_bow_match_fn(kf, self.cur_feats)
+            else:
+                # no vocabulary: brute-force window search fallback
+                kf_has = jnp.asarray(m.kf_pt[kf] >= 0)
+                match = np.asarray(matcher.window_search(
+                    f_kf, self.cur_feats, kf_has, self.params,
+                    window=1e6, nn_ratio=0.75, use_low_th=True))
+                triples = []
+                for c in range(match.shape[0]):
+                    for s in np.nonzero(match[c] >= 0)[0]:
+                        p = int(m.kf_pt[kf, c, s])
+                        if p >= 0:
+                            triples.append((p, c, int(match[c, s])))
+            n = len(triples)
             if n >= 15 and (best is None or n > best[0]):
-                best = (n, kf, match)
+                best = (n, kf, triples)
         if best is None:
             return False
-        _, kf, match = best
-        C = match.shape[0]
-        for c in range(C):
-            sel = np.nonzero(match[c] >= 0)[0]
-            pids = m.kf_pt[kf, c, sel]
-            okp = pids >= 0
-            self.cur_pt[c, match[c, sel[okp]]] = pids[okp]
+        _, kf, triples = best
+        for p, c, s in triples:
+            self.cur_pt[c, s] = p
 
         # GP3P-role absolute pose: batched non-central RANSAC over the
         # 2D-3D matches (rays in body frame x landmark positions), then

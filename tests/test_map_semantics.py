@@ -107,3 +107,55 @@ def test_checkpoint_path_without_npz_suffix(tmp_path):
     m2, _ = checkpoint.load_map(path)
     assert m2.n_points() == m.n_points()
     assert m2.covisibility_weights(0) == m.covisibility_weights(0)
+
+
+class TestKeyFrameCullingScale:
+    """KeyFrameCulling's finer-or-equal-scale condition
+    (cLocalMapping.cpp:517-593): redundancy only counts observations at
+    level <= own level + 1."""
+
+    def _build(self, other_level: int):
+        import jax.numpy as jnp
+        from multicol_slam_tpu.models.extractor import Features
+        from multicol_slam_tpu.models.local_mapping import LocalMapper
+        from multicol_slam_tpu.models import matcher
+        from multicol_slam_tpu.utils import config_io
+
+        rig, _ = config_io.load_mcs("/root/reference/Examples/Lafida")
+        n_pt, n_kf = 40, 5
+        m = MapStore(capacity_pts=n_pt + 8, capacity_kfs=n_kf + 1,
+                     n_cams=3, k_per_cam=n_pt)
+
+        def feats(level):
+            C, K = 3, n_pt
+            return Features(
+                xy=jnp.zeros((C, K, 2)), level=jnp.full((C, K), level,
+                                                        jnp.int32),
+                angle=jnp.zeros((C, K)), response=jnp.zeros((C, K)),
+                ray=jnp.zeros((C, K, 3)),
+                desc=jnp.zeros((C, K, 8), jnp.uint32),
+                desc_mask=jnp.zeros((C, K, 8), jnp.uint32),
+                valid=jnp.ones((C, K), bool))
+
+        # kf 1 = culling candidate at level 0; all points also seen by
+        # kfs 2..4 at `other_level`
+        for k in range(n_kf):
+            m.alloc_keyframe(np.zeros(6), feats(other_level if k != 1
+                                                else 0), k)
+        ids = m.alloc_points(n_pt)
+        for i, p in enumerate(ids):
+            for k in range(n_kf):
+                m.add_observation(int(p), k, 0, i)
+        mapper = LocalMapper(rig, m, matcher.MatchParams(desc_bytes=32))
+        return m, mapper
+
+    def test_culls_when_seen_finer_elsewhere(self):
+        m, mapper = self._build(other_level=0)
+        mapper._cull_keyframes(0)
+        assert not m.kf_valid[1], "fully-redundant KF must be culled"
+
+    def test_keeps_when_only_seen_coarser(self):
+        m, mapper = self._build(other_level=5)
+        mapper._cull_keyframes(0)
+        assert m.kf_valid[1], \
+            "KF whose points are only seen coarsely elsewhere must survive"
