@@ -411,7 +411,8 @@ class LocalMapper:
             n_levels=self.n_levels, scale_factor=self.scale_factor)
         ok = np.array(ok)
         ok[:, P:] = False
-        match = matcher.fuse_candidates(
+        fuse_fn = matcher.pick_fuse_fn(cap, self.params)
+        match = fuse_fn(
             f, jnp.asarray(m.kf_pt[kf] >= 0),
             jnp.asarray(pad(m.pt_desc[pts])),
             jnp.asarray(pad(m.pt_desc_mask[pts])),

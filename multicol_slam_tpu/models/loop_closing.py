@@ -320,7 +320,8 @@ class LoopCloser:
         ok = np.array(ok)
         ok[:, P:] = False
         f = m.kf_features[kf]
-        match = np.asarray(matcher.fuse_candidates(
+        fuse_fn = matcher.pick_fuse_fn(cap, self.params)
+        match = np.asarray(fuse_fn(
             f, jnp.asarray(m.kf_pt[kf] >= 0),
             jnp.asarray(pad(m.pt_desc[cand_pts])),
             jnp.asarray(pad(m.pt_desc_mask[cand_pts])),
@@ -367,7 +368,8 @@ class LoopCloser:
         ok = np.array(ok)
         ok[:, P:] = False
         f = m.kf_features[kf]
-        match = np.asarray(matcher.fuse_candidates(
+        fuse_fn = matcher.pick_fuse_fn(cap, self.params)
+        match = np.asarray(fuse_fn(
             f, jnp.asarray(m.kf_pt[kf] >= 0),
             jnp.asarray(pad(m.pt_desc[pts])),
             jnp.asarray(pad(m.pt_desc_mask[pts])),

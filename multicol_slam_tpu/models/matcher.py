@@ -256,3 +256,57 @@ def fuse_candidates(feats: Features, has_point: jax.Array,
     return jax.vmap(per_cam, in_axes=(0, 0, 0, 0, 0, 0, 0, 0))(
         feats.desc, feats.desc_mask, feats.xy, feats.level, feats.valid,
         uv_pred, pred_ok, pred_level)
+
+
+# candidate-set size beyond which the streaming Pallas kernel beats the
+# XLA dense-distance-matrix path (measured on TPU v5e, see bench)
+PALLAS_MIN_CANDIDATES = 2048
+
+
+def pick_fuse_fn(n_candidates: int, params: MatchParams):
+    """Route map-scale fuse passes through the Pallas streaming kernel
+    (VMEM-bounded, no (P, K) f32 distance matrix) when the candidate set
+    is large, the descriptors are unmasked, and we're on TPU."""
+    if (n_candidates >= PALLAS_MIN_CANDIDATES and not params.masked
+            and jax.default_backend() == "tpu"):
+        return fuse_candidates_fused
+    return fuse_candidates
+
+
+@functools.partial(jax.jit, static_argnames=("params", "th"))
+def fuse_candidates_fused(feats: Features, has_point: jax.Array,
+                          pt_desc: jax.Array, pt_mask: jax.Array,
+                          uv_pred: jax.Array, pred_ok: jax.Array,
+                          pred_level: jax.Array, params: MatchParams,
+                          th: float = 3.0):
+    """fuse_candidates semantics with the distance+argmin computed by
+    the streaming Pallas Hamming-NN kernel (ops/pallas/hamming_nn):
+    per-camera, the (P, K) f32 distance matrix never materializes in
+    HBM. Unmasked descriptors only; P must be a multiple of 128 (the
+    callers' power-of-two candidate buckets satisfy this)."""
+    from ..ops.pallas.hamming_nn import fused_hamming_nn
+
+    sf = params.scale_factor
+    C, K = feats.desc.shape[:2]
+    P = pt_desc.shape[0]
+    Kpad = -(-K // 256) * 256
+    outs = []
+    for c in range(C):       # C is tiny and static: unrolled
+        fd = feats.desc[c]
+        flvl = feats.level[c]
+        radius = th * sf ** pred_level[c].astype(jnp.float32)
+        d2 = jnp.sum((feats.xy[c][None, :, :]
+                      - uv_pred[c][:, None, :]) ** 2, -1)
+        gate = d2 <= (radius ** 2)[:, None]
+        gate &= (flvl[None, :] >= (pred_level[c] - 1)[:, None]) & \
+                (flvl[None, :] <= (pred_level[c] + 1)[:, None])
+        gate &= feats.valid[c][None, :] & pred_ok[c][:, None]
+        if Kpad != K:
+            fd = jnp.concatenate(
+                [fd, jnp.zeros((Kpad - K, fd.shape[1]), fd.dtype)], 0)
+            gate = jnp.concatenate(
+                [gate, jnp.zeros((P, Kpad - K), bool)], 1)
+        idx, best, _ = fused_hamming_nn(pt_desc, fd, gate)
+        match = jnp.where(best <= params.th_low, idx, -1)
+        outs.append(hm.resolve_duplicate_targets(match, best, Kpad))
+    return jnp.stack(outs)

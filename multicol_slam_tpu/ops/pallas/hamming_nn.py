@@ -1,14 +1,17 @@
 """Fused Hamming nearest-neighbour Pallas kernel.
 
-The XLA matcher (ops/hamming.py) materializes the (N, M) distance
-matrix, which is ideal at frame scale (N = M ~ 1e3). At MAP scale
-(fuse/loop passes over 1e4 x 1e5 candidates) the matrix would be
-gigabytes; this kernel streams database tiles through VMEM and folds
-best / second-best / argmin on the fly — O(N) memory, MXU throughput.
+The XLA matcher (ops/hamming.py) materializes the (N, M) f32 distance
+matrix plus argmin intermediates, which is ideal at frame scale
+(N = M ~ 1e3). At MAP scale (fuse/loop passes project 1e4+ candidate
+landmarks into a keyframe) this kernel streams D_TILE database columns
+through VMEM per grid step and folds best / second-best / argmin on the
+fly — VMEM use is bounded by the tile sizes no matter how large N and M
+grow, and the running reduction lives in the revisited output block
+(TPU grids execute sequentially, so the carry is safe).
 
 Semantics identical to hamming.masked_argmin2 over hamming_matrix with
 a gate: per query row, the best and second-best gated Hamming distance
-and the best index (INVALID when gated out).
+and the best index (-1 / INVALID when fully gated out).
 """
 
 from __future__ import annotations
@@ -20,51 +23,53 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-INVALID = 0x7FFFFFFF
+# sentinel exactly representable in f32 (2^30; 0x7FFFFFFF rounds to 2^31
+# and relies on saturating f32->int conversion)
+INVALID = 1 << 30
 
 Q_TILE = 128     # query rows per program
-D_TILE = 128     # database rows per inner step
+D_TILE = 256     # database columns per program (grid-streamed)
 
 
 def _kernel(q_ref, dbt_ref, gate_ref, best_ref, second_ref, idx_ref):
-    """q_ref: (Q_TILE, B) bf16 +-1; dbt_ref: (B, M) bf16 +-1 TRANSPOSED
-    (mosaic wants standard (Q,B)x(B,D) matmul layout); gate_ref:
-    (Q_TILE, M) f32 0/1; outputs per query row."""
-    m = dbt_ref.shape[1]
+    """One (query-tile, db-tile) cell. q_ref: (Q_TILE, B) f32 +-1;
+    dbt_ref: (B, D_TILE) f32 +-1 TRANSPOSED block (mosaic wants standard
+    (Q,B)x(B,D) matmul layout); gate_ref: (Q_TILE, D_TILE) f32 0/1;
+    outputs are WHOLE-ARRAY (n//Q_TILE, Q_TILE) blocks — resident across
+    the sequential TPU grid, so row i carries the running reduction over
+    the db grid axis j."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
     b_bits = q_ref.shape[1]
-    n_steps = m // D_TILE
 
     q = q_ref[...]
+    ip = jnp.dot(q, dbt_ref[...], preferred_element_type=jnp.float32)
+    dist = (b_bits - ip) * 0.5                          # (Q, D)
+    dist = jnp.where(gate_ref[...] > 0.5, dist, jnp.float32(INVALID))
+    # tile-local best & second
+    t_best = jnp.min(dist, 1)
+    t_arg = jnp.argmin(dist, 1).astype(jnp.int32)
+    masked = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+        == t_arg[:, None], jnp.float32(INVALID), dist)
+    t_second = jnp.min(masked, 1)
+    t_arg = t_arg + j * D_TILE
 
-    def step(s, carry):
-        best, second, idx = carry
-        db = dbt_ref[:, pl.ds(s * D_TILE, D_TILE)]
-        ip = jnp.dot(q, db, preferred_element_type=jnp.float32)
-        dist = (b_bits - ip) * 0.5                       # (Q, D)
-        gate = gate_ref[:, pl.ds(s * D_TILE, D_TILE)]
-        dist = jnp.where(gate > 0.5, dist, jnp.float32(INVALID))
-        # tile-local best & second
-        t_best = jnp.min(dist, 1)
-        t_arg = jnp.argmin(dist, 1).astype(jnp.int32) + s * D_TILE
-        masked = jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
-            == (t_arg - s * D_TILE)[:, None], jnp.float32(INVALID), dist)
-        t_second = jnp.min(masked, 1)
-        # merge with running carry
-        new_best = jnp.minimum(best, t_best)
-        new_idx = jnp.where(t_best < best, t_arg, idx)
-        new_second = jnp.minimum(jnp.maximum(best, t_best),
-                                 jnp.minimum(second, t_second))
-        return new_best, new_second, new_idx
+    @pl.when(j == 0)
+    def _init():
+        best_ref[i, :] = t_best
+        second_ref[i, :] = t_second
+        idx_ref[i, :] = t_arg
 
-    init = (jnp.full((Q_TILE,), jnp.float32(INVALID)),
-            jnp.full((Q_TILE,), jnp.float32(INVALID)),
-            jnp.full((Q_TILE,), -1, jnp.int32))
-    best, second, idx = jax.lax.fori_loop(0, n_steps, step, init)
-    pid = pl.program_id(0)
-    best_ref[pid, :] = best.astype(jnp.int32)
-    second_ref[pid, :] = second.astype(jnp.int32)
-    idx_ref[pid, :] = idx
+    @pl.when(j != 0)
+    def _merge():
+        best = best_ref[i, :]
+        second = second_ref[i, :]
+        idx = idx_ref[i, :]
+        best_ref[i, :] = jnp.minimum(best, t_best)
+        idx_ref[i, :] = jnp.where(t_best < best, t_arg, idx)
+        second_ref[i, :] = jnp.minimum(jnp.maximum(best, t_best),
+                                       jnp.minimum(second, t_second))
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -73,9 +78,9 @@ def fused_hamming_nn(q_packed: jax.Array, db_packed: jax.Array,
     """Per-query best/second/argmin of gated Hamming distances.
 
     q_packed: (N, W) uint32; db_packed: (M, W) uint32; gate: (N, M) bool.
-    N, M must be multiples of 128 (pad with gate=False rows/cols).
-    Returns (best_idx (N,), best_d (N,), second_d (N,)) int32 with
-    INVALID distances where fully gated.
+    N must be a multiple of 128 and M of 256 (pad with gate=False
+    rows/cols). Returns (best_idx (N,), best_d (N,), second_d (N,))
+    int32 with INVALID distances where fully gated.
     """
     from ..hamming import to_pm1
 
@@ -87,34 +92,38 @@ def fused_hamming_nn(q_packed: jax.Array, db_packed: jax.Array,
     db_pm_t = to_pm1(db_packed, dtype=jnp.float32).T    # (B, M)
     gatef = gate.astype(jnp.float32)  # i8 vector compares unsupported on this target
 
-    grid = (n // Q_TILE,)
+    grid = (n // Q_TILE, m // D_TILE)
+    out_spec = pl.BlockSpec((n // Q_TILE, Q_TILE), lambda i, j: (0, 0),
+                            memory_space=pltpu.VMEM)
     best, second, idx = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((Q_TILE, q_pm.shape[1]), lambda i: (i, 0),
+            pl.BlockSpec((Q_TILE, q_pm.shape[1]), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((db_pm_t.shape[0], m), lambda i: (0, 0),
+            pl.BlockSpec((db_pm_t.shape[0], D_TILE), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Q_TILE, m), lambda i: (i, 0),
+            pl.BlockSpec((Q_TILE, D_TILE), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((n // Q_TILE, Q_TILE), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n // Q_TILE, Q_TILE), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n // Q_TILE, Q_TILE), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=(out_spec, out_spec, out_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((n // Q_TILE, Q_TILE), jnp.int32),
-            jax.ShapeDtypeStruct((n // Q_TILE, Q_TILE), jnp.int32),
+            jax.ShapeDtypeStruct((n // Q_TILE, Q_TILE), jnp.float32),
+            jax.ShapeDtypeStruct((n // Q_TILE, Q_TILE), jnp.float32),
             jax.ShapeDtypeStruct((n // Q_TILE, Q_TILE), jnp.int32),
         ),
     )(q_pm, db_pm_t, gatef)
-    best = best.reshape(n)
-    second = second.reshape(n)
+    from ..hamming import INVALID as XLA_INVALID
+
+    def to_int(d):
+        d = d.reshape(n)
+        # re-map the f32-exact sentinel to the XLA path's int32 sentinel
+        # once values are integers (drop-in semantic parity)
+        return jnp.where(d >= jnp.float32(INVALID), XLA_INVALID,
+                         d.astype(jnp.int32))
+
+    best = to_int(best)
+    second = to_int(second)
     idx = idx.reshape(n)
-    idx = jnp.where(best >= INVALID, -1, idx)
+    idx = jnp.where(best >= XLA_INVALID, -1, idx)
     return idx, best, second

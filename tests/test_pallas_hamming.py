@@ -54,8 +54,8 @@ def test_fully_gated_rows():
 
     rng = np.random.default_rng(1)
     q = jnp.asarray(rng.integers(0, 2 ** 32, (128, 8), dtype=np.uint32))
-    db = jnp.asarray(rng.integers(0, 2 ** 32, (128, 8), dtype=np.uint32))
-    gate = jnp.zeros((128, 128), bool).at[:64].set(True)
+    db = jnp.asarray(rng.integers(0, 2 ** 32, (256, 8), dtype=np.uint32))
+    gate = jnp.zeros((128, 256), bool).at[:64].set(True)
     ctx = (pltpu.force_tpu_interpret_mode()
            if jax.default_backend() != "tpu" else contextlib.nullcontext())
     with ctx:
@@ -63,3 +63,49 @@ def test_fully_gated_rows():
     idx = np.asarray(idx)
     assert (idx[64:] == -1).all()
     assert (idx[:64] >= 0).all()
+
+
+def test_fuse_candidates_fused_matches_xla():
+    """The Pallas-routed fuse must reproduce the XLA fuse exactly."""
+    import contextlib
+    from jax.experimental.pallas import tpu as pltpu
+    from multicol_slam_tpu.models import matcher
+    from multicol_slam_tpu.models.extractor import Features
+
+    rng = np.random.default_rng(2)
+    C, K, P, W = 2, 300, 256, 8
+    feats = Features(
+        xy=jnp.asarray(rng.uniform(0, 700, (C, K, 2)).astype(np.float32)),
+        level=jnp.asarray(rng.integers(0, 4, (C, K)).astype(np.int32)),
+        angle=jnp.zeros((C, K)), response=jnp.zeros((C, K)),
+        ray=jnp.zeros((C, K, 3)),
+        desc=jnp.asarray(rng.integers(0, 2 ** 32, (C, K, W), dtype=np.int64)
+                         .astype(np.uint32)),
+        desc_mask=jnp.full((C, K, W), 0xFFFFFFFF, jnp.uint32),
+        valid=jnp.asarray(rng.random((C, K)) < 0.9))
+    pt_desc = jnp.asarray(
+        rng.integers(0, 2 ** 32, (P, W), dtype=np.int64).astype(np.uint32))
+    pt_mask = jnp.full((P, W), 0xFFFFFFFF, jnp.uint32)
+    uv = jnp.asarray(rng.uniform(0, 700, (C, P, 2)).astype(np.float32))
+    ok = jnp.asarray(rng.random((C, P)) < 0.8)
+    lvl = jnp.asarray(rng.integers(0, 4, (C, P)).astype(np.int32))
+    has = jnp.zeros((C, K), bool)
+    params = matcher.MatchParams(desc_bytes=32)
+
+    ref = np.asarray(matcher.fuse_candidates(
+        feats, has, pt_desc, pt_mask, uv, ok, lvl, params, th=30.0))
+    ctx = (pltpu.force_tpu_interpret_mode()
+           if jax.default_backend() != "tpu" else contextlib.nullcontext())
+    with ctx:
+        got = np.asarray(matcher.fuse_candidates_fused(
+            feats, has, pt_desc, pt_mask, uv, ok, lvl, params, th=30.0))
+    # ties in random descriptors may pick a different slot at equal
+    # distance: require identical matched-set distances
+    agree = (ref == got)
+    if not agree.all():
+        d = [np.asarray(hm.hamming_matrix(pt_desc, feats.desc[c]))
+             for c in range(C)]
+        for c, p in zip(*np.nonzero(~agree)):
+            a, b = ref[c, p], got[c, p]
+            assert a >= 0 and b >= 0, (c, p, a, b)
+            assert d[c][p, a] == d[c][p, b], (c, p, a, b)
