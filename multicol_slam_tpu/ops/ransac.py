@@ -60,6 +60,75 @@ def essential_8pt(v1: jax.Array, v2: jax.Array) -> jax.Array:
     return (U * jnp.asarray([1.0, 1.0, 0.0])) @ Vt
 
 
+def essential_5pt(v1: jax.Array, v2: jax.Array, cay0: jax.Array,
+                  t0: jax.Array, iters: int = 24):
+    """Minimal 5-point central relative pose — the role of OpenGV's
+    STEWENIUS solver in initialization RANSAC
+    (cMultiInitializer.cpp:131-146).
+
+    TPU-first formulation instead of the Groebner 10x10 action-matrix
+    eigendecomposition (which needs an unsymmetric eig TPUs lack): the
+    pose is parametrized minimally as (cayley(3), t(3)) with the scale
+    gauge ||t||^2 = 1 appended to the five epipolar constraints
+    v1^T [t]x R v2 = 0, and the square 6x6 system is solved by damped
+    Newton from a given seed. The polynomial's up-to-10 roots are
+    recovered across RANSAC samples x multiple seeds — each
+    (sample, seed) is one vmap lane, exactly like the GP3P solver above.
+
+    v1, v2: (5, 3) unit bearing pairs; cay0: (3,) rotation seed (cayley);
+    t0: (3,) translation-direction seed. Returns (E (3,3), residual).
+    """
+    x0 = jnp.concatenate([cay0, t0])
+
+    def E_of(x):
+        c1, c2, c3 = x[0], x[1], x[2]
+        # cayley -> rotation (matches ops/geometry cayley2rot)
+        s = 1.0 + c1 * c1 + c2 * c2 + c3 * c3
+        R = jnp.asarray([
+            [1 + c1 * c1 - c2 * c2 - c3 * c3, 2 * (c1 * c2 - c3),
+             2 * (c1 * c3 + c2)],
+            [2 * (c1 * c2 + c3), 1 - c1 * c1 + c2 * c2 - c3 * c3,
+             2 * (c2 * c3 - c1)],
+            [2 * (c1 * c3 - c2), 2 * (c2 * c3 + c1),
+             1 - c1 * c1 - c2 * c2 + c3 * c3]]) / s
+        t = x[3:6]
+        return skew(t[None])[0] @ R
+
+    def F(x):
+        E = E_of(x)
+        ep = jnp.einsum("ni,ij,nj->n", v1, E, v2)
+        gauge = jnp.sum(x[3:6] ** 2) - 1.0
+        return jnp.concatenate([ep, gauge[None]])
+
+    def body(_, x):
+        r = F(x)
+        J = jax.jacfwd(F)(x)
+        # Gauss-Newton step via normal equations + Cholesky: TPU-native
+        # (batched LU of general square systems compiles poorly on TPU;
+        # cho_solve of the damped 6x6 JtJ is cheap and always defined)
+        JtJ = J.T @ J + 1e-8 * jnp.eye(6, dtype=x.dtype)
+        L = jax.scipy.linalg.cholesky(JtJ, lower=True)
+        step = jax.scipy.linalg.cho_solve((L, True), J.T @ r)
+        step = jnp.clip(step, -0.5, 0.5)
+        return x - step
+
+    x = jax.lax.fori_loop(0, iters, body, x0)
+    res = jnp.linalg.norm(F(x))
+    return E_of(x), res
+
+
+# rotation seeds (cayley) x translation-direction seeds: small-motion
+# basin first (SLAM init is near identity), then axis directions
+ESSENTIAL_SEEDS = (
+    ((0.0, 0.0, 0.0), (1.0, 0.0, 0.0)),
+    ((0.0, 0.0, 0.0), (-1.0, 0.0, 0.0)),
+    ((0.0, 0.0, 0.0), (0.0, 1.0, 0.0)),
+    ((0.0, 0.0, 0.0), (0.0, 0.0, 1.0)),
+    ((0.05, -0.05, 0.05), (0.577, 0.577, 0.577)),
+    ((-0.05, 0.05, -0.05), (-0.577, 0.577, -0.577)),
+)
+
+
 def decompose_essential(E: jax.Array):
     """E -> 4 candidate (R12, t12) with ||t|| = 1 (standard U W V^T
     factorizations)."""
@@ -84,23 +153,48 @@ def _epipolar_err(E, v1, v2):
     return num * num / jnp.maximum(den, 1e-12)
 
 
-@functools.partial(jax.jit, static_argnames=("n_hyps",))
+@functools.partial(jax.jit, static_argnames=("n_hyps", "sample_size"))
 def ransac_essential(key: jax.Array, v1: jax.Array, v2: jax.Array,
                      valid: jax.Array, *, threshold: float = 1e-4,
-                     n_hyps: int = 256):
-    """Batched 8-point essential RANSAC over bearing pairs.
+                     n_hyps: int = 256, sample_size: int = 5):
+    """Batched essential RANSAC over bearing pairs.
 
     v1, v2: (N, 3); valid: (N,) bool. Returns (E_best, inlier_mask,
     n_inliers). Matches the role of the reference's STEWENIUS RANSAC
     (threshold 1e-4 on ray residuals, cMultiInitializer.cpp:137-141).
+
+    sample_size=5 (default) draws MINIMAL 5-point hypotheses solved by
+    the Newton-from-seeds essential_5pt (one vmap lane per
+    (sample, seed)), the same per-hypothesis support as Stewenius —
+    robust at inlier ratios where 8-point samples rarely come out
+    clean; sample_size=8 uses the linear 8-point solver per hypothesis.
+    Either way the winner is refit with 8-point on its inlier set.
     """
     n = v1.shape[0]
     # sample proportional to validity so invalid points never enter
     w = valid.astype(jnp.float32)
-    idx = sample_minimal_sets(key, n_hyps, 8, n, w)          # (S, 8)
+    idx = sample_minimal_sets(key, n_hyps, sample_size, n, w)  # (S, k)
 
-    Es = jax.vmap(lambda i: essential_8pt(v1[i], v2[i]))(idx)  # (S, 3, 3)
+    if sample_size == 5:
+        cays = jnp.asarray([s[0] for s in ESSENTIAL_SEEDS], v1.dtype)
+        ts = jnp.asarray([s[1] for s in ESSENTIAL_SEEDS], v1.dtype)
+        ts = ts / jnp.linalg.norm(ts, axis=-1, keepdims=True)
+
+        # convergence tolerance scaled to the dtype's noise floor
+        # (f32 ~ 3e-5, f64 ~ 5e-13): non-roots land orders above it
+        tol = 250.0 * float(jnp.finfo(v1.dtype).eps)
+
+        def solve_one(i):
+            Es, res = jax.vmap(
+                lambda c, t: essential_5pt(v1[i], v2[i], c, t))(cays, ts)
+            bad = res > tol
+            return jnp.where(bad[:, None, None], jnp.inf, Es)
+
+        Es = jax.vmap(solve_one)(idx).reshape(-1, 3, 3)  # (S*seeds, 3, 3)
+    else:
+        Es = jax.vmap(lambda i: essential_8pt(v1[i], v2[i]))(idx)  # (S, 3, 3)
     errs = jax.vmap(lambda E: _epipolar_err(E, v1, v2))(Es)    # (S, N)
+    errs = jnp.where(jnp.isfinite(errs), errs, jnp.inf)
     inl = (errs < threshold) & valid[None, :]
     scores = jnp.sum(inl, 1)
     best = jnp.argmax(scores)
@@ -156,8 +250,11 @@ def gp3p(origins: jax.Array, dirs: jax.Array, X: jax.Array,
     def body(_, d):
         r = F(d)
         J = jax.jacfwd(F)(d)
-        # damped Newton step; keep depths positive
-        step = jnp.linalg.solve(J + 1e-9 * jnp.eye(3, dtype=d.dtype), r)
+        # damped Newton step via Cholesky normal equations (batched
+        # general LU compiles poorly on TPU); keep depths positive
+        JtJ = J.T @ J + 1e-9 * jnp.eye(3, dtype=d.dtype)
+        L = jax.scipy.linalg.cholesky(JtJ, lower=True)
+        step = jax.scipy.linalg.cho_solve((L, True), J.T @ r)
         step = jnp.clip(step, -0.5 * jnp.abs(d) - 1.0,
                         0.5 * jnp.abs(d) + 1.0)
         return jnp.maximum(d - step, 1e-4)

@@ -56,6 +56,45 @@ def test_ransac_essential_outliers():
     assert inl[bad].mean() < 0.1
 
 
+def test_5pt_minimal_regime():
+    """Low-inlier regime (35%): minimal 5-point hypotheses still find an
+    all-inlier sample with useful probability while 8-point ones almost
+    never do — the reason the reference initializes with Stewenius
+    RANSAC (cMultiInitializer.cpp:131-146) rather than 8-point."""
+    rng = np.random.default_rng(21)
+    n = 60
+    R12, t12, v1, v2, bad = make_pair(rng, n, outlier_frac=0.68)
+    clean = np.setdiff1d(np.arange(n), bad)
+    E5, inl5, n5 = ransac.ransac_essential(
+        jax.random.PRNGKey(0), jnp.asarray(v1), jnp.asarray(v2),
+        jnp.ones(n, bool), n_hyps=256, sample_size=5)
+    inl5 = np.asarray(inl5)
+    assert inl5[clean].mean() > 0.7, f"5pt recall {inl5[clean].mean()}"
+    E8, inl8, n8 = ransac.ransac_essential(
+        jax.random.PRNGKey(0), jnp.asarray(v1), jnp.asarray(v2),
+        jnp.ones(n, bool), n_hyps=256, sample_size=8)
+    inl8 = np.asarray(inl8)
+    assert inl5[clean].mean() > inl8[clean].mean() + 0.2, \
+        f"5pt ({inl5[clean].mean()}) should beat 8pt ({inl8[clean].mean()})"
+
+
+def test_5pt_exact_minimal_sample():
+    """essential_5pt recovers an exact root from 5 clean pairs."""
+    rng = np.random.default_rng(22)
+    R12, t12, v1, v2, _ = make_pair(rng, 5)
+    cays = jnp.asarray([s[0] for s in ransac.ESSENTIAL_SEEDS])
+    ts = jnp.asarray([s[1] for s in ransac.ESSENTIAL_SEEDS], jnp.float64)
+    ts = ts / jnp.linalg.norm(ts, axis=-1, keepdims=True)
+    Es, res = jax.vmap(lambda c, t: ransac.essential_5pt(
+        jnp.asarray(v1), jnp.asarray(v2), c, t))(cays, ts)
+    res = np.asarray(res)
+    assert (res < 1e-10).any(), f"no converged seed: {res}"
+    # every converged root satisfies the epipolar constraints exactly
+    for k in np.nonzero(res < 1e-10)[0]:
+        ep = np.einsum("ni,ij,nj->n", v1, np.asarray(Es[k]), v2)
+        assert np.abs(ep).max() < 1e-9
+
+
 def test_decompose_and_cheirality():
     rng = np.random.default_rng(2)
     R12, t12, v1, v2, _ = make_pair(rng, 150)
