@@ -33,17 +33,24 @@ class MultiColSLAM:
     """The cSystem equivalent: construct from a calibration directory +
     settings, feed synchronized image sets, read back poses."""
 
-    def __init__(self, calib_dir: str, settings_path: Optional[str] = None,
+    def __init__(self, calib_dir: Optional[str] = None,
+                 settings_path: Optional[str] = None,
                  settings: Optional[config_io.SlamSettings] = None,
                  async_mapping: bool = False,
                  capacity_pts: int = 30000, capacity_kfs: int = 256,
                  enable_loop_closing: bool = True,
-                 vocabulary_path: Optional[str] = None):
+                 vocabulary_path: Optional[str] = None,
+                 rig=None):
         self.settings = settings or (
             config_io.load_settings(settings_path) if settings_path
             else config_io.SlamSettings())
         s = self.settings
-        self.rig, self.mirror_masks = config_io.load_mcs(calib_dir)
+        if rig is not None:
+            # caller-supplied rig (custom/synthetic/rescaled systems);
+            # mirror masks are derived analytically below either way
+            self.rig, self.mirror_masks = rig, None
+        else:
+            self.rig, self.mirror_masks = config_io.load_mcs(calib_dir)
         C = self.rig.n_cams
         w = int(float(self.rig.cams.width[0]))
         h = int(float(self.rig.cams.height[0]))
@@ -229,7 +236,24 @@ class MultiColSLAM:
 
     def track(self, images, timestamp: float) -> Optional[np.ndarray]:
         """cSystem::TrackMultiColSLAM equivalent."""
-        return self.tracker.track(images, timestamp)
+        M = self.tracker.track(images, timestamp)
+        if getattr(self, "keep_last_frame", False):
+            # frame publisher snapshot (cMultiFramePublisher::Update):
+            # the viewer thread renders from this copy, never from the
+            # tracker's live state
+            tr = self.tracker
+            self.last_frame = (np.asarray(images), tr.cur_feats,
+                               None if tr.cur_pt is None else tr.cur_pt.copy(),
+                               tr.state.name)
+        return M
+
+    def attach_viewer(self, out_dir: str = ".", period_s: float = 1.0):
+        """Start the live viewer loop (cSystem spawns cViewer::Run,
+        cSystem.cpp:96-110). Returns the running Viewer; stop it via
+        viewer.stop() or shutdown()."""
+        from ..utils.viz import Viewer
+        self._viewer = Viewer(self, out_dir=out_dir, period_s=period_s)
+        return self._viewer.start()
 
     @property
     def state(self) -> TrackState:
@@ -245,6 +269,9 @@ class MultiColSLAM:
         """cSystem::Shutdown: stop the worker and wait for it to finish
         in-flight work (the reference polls isFinished, cSystem.cpp:
         242-258) — joining fully avoids killing a thread mid-XLA-call."""
+        if getattr(self, "_viewer", None) is not None:
+            self._viewer.stop()
+            self._viewer = None
         if self._mapper_thread is not None:
             self._kf_queue.put(None)           # drain, then exit
             self._mapper_thread.join(timeout=120)

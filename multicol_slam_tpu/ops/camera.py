@@ -98,6 +98,35 @@ def stack_cameras(cams: Sequence[CameraModel]) -> CameraModel:
     return jax.tree.map(lambda *xs: np.stack(xs, 0), *cams)
 
 
+def scale_camera(cam: CameraModel, k: float) -> CameraModel:
+    """Rescale a Scaramuzza camera to a k-times-smaller/larger image.
+
+    Pixel coordinates about the principal point scale by ``k``
+    (rho' = k*rho), so the rays stay identical when the forward poly
+    transforms as a_i' = a_i * k^(1-i) (z' = k*f(rho'/k) keeps the
+    direction (x', y', z') parallel to (x, y, z)) and the inverse poly
+    simply scales by k (rho' = k*horner(invP, theta)). The affine
+    c/d/e stay put since they act on the already-scaled distorted
+    coordinates. Used to render cheap low-resolution synthetic
+    sequences through a geometrically exact version of the real
+    calibration (cam_model_omni.cpp:29-161 is resolution-agnostic).
+    """
+    k = float(k)
+    poly = np.asarray(cam.poly, np.float64).copy()
+    exps = np.arange(poly.shape[-1], dtype=np.float64)
+    poly = poly * k ** (1.0 - exps)
+    dtype = np.asarray(cam.c).dtype
+    arr = lambda x: np.asarray(x, dtype)
+    return cam._replace(
+        u0=arr(np.asarray(cam.u0, np.float64) * k),
+        v0=arr(np.asarray(cam.v0, np.float64) * k),
+        poly=arr(poly),
+        inv_poly=arr(np.asarray(cam.inv_poly, np.float64) * k),
+        width=arr(np.rint(np.asarray(cam.width, np.float64) * k)),
+        height=arr(np.rint(np.asarray(cam.height, np.float64) * k)),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Projection / unprojection  (cam_model_omni.cpp:29-161)
 # ---------------------------------------------------------------------------

@@ -70,6 +70,12 @@ def rig_from_cayley(M_c_min, cams: CameraModel) -> Rig:
     return Rig(M_c=out, cams=cams)
 
 
+def scale_rig(rig: Rig, k: float) -> Rig:
+    """Rig with every camera rescaled to a k-times image resolution
+    (extrinsics untouched — resolution doesn't move the cameras)."""
+    return rig._replace(cams=cam_ops.scale_camera(rig.cams, k))
+
+
 # ---------------------------------------------------------------------------
 # Batched projection through the whole rig
 # ---------------------------------------------------------------------------

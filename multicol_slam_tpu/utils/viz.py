@@ -110,3 +110,78 @@ def draw_frame_mosaic(images: np.ndarray, feats, frame_pt=None,
     fig.savefig(path, dpi=100)
     plt.close(fig)
     return path
+
+
+class Viewer:
+    """Live viewer loop — the cViewer::Run equivalent (cViewer.cpp:72-144).
+
+    The reference spins a Pangolin GL window redrawing the map publisher
+    + frame publisher at ~30 Hz until RequestFinish. On a headless TPU
+    host the same loop republishes both renders as atomically-swapped
+    PNGs (``live_map.png``, ``live_frame.png``) at a fixed period, so
+    any file watcher / web view becomes the window; with an interactive
+    matplotlib backend the draw calls open real figures instead.
+
+    Reads are snapshot-by-copy: the worker copies the map arrays before
+    drawing, so the tracker is never blocked and torn reads never reach
+    the renderer (the reference takes mMutexCamera/mCSMap for the same
+    reason, cViewer.cpp:84-120).
+    """
+
+    def __init__(self, slam, out_dir: str = ".", period_s: float = 1.0):
+        import threading
+
+        self.slam = slam
+        self.out_dir = out_dir
+        self.period_s = period_s
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self.n_refreshes = 0
+        slam.keep_last_frame = True     # tracker retains images for us
+
+    def start(self) -> "Viewer":
+        self._thread.start()
+        return self
+
+    def stop(self):
+        """cViewer::RequestFinish + join."""
+        self._stop.set()
+        self._thread.join(timeout=30)
+
+    # ------------------------------------------------------------------
+
+    def _atomic(self, draw_fn, name):
+        import os
+        tmp = os.path.join(self.out_dir, "." + name + ".tmp.png")
+        final = os.path.join(self.out_dir, name)
+        draw_fn(tmp)
+        os.replace(tmp, final)
+
+    def _run(self):
+        import os
+
+        os.makedirs(self.out_dir, exist_ok=True)
+        while not self._stop.wait(self.period_s):
+            self.refresh()
+
+    def refresh(self):
+        """One redraw of both publishers (callable directly in tests)."""
+        slam = self.slam
+        tr = slam.tracker
+        pose = tr.all_poses[-1] if tr.all_poses else None
+        try:
+            self._atomic(
+                lambda p: draw_map(slam.map, slam.rig, current_pose=pose,
+                                   trajectory=list(tr.all_poses), path=p),
+                "live_map.png")
+            snap = getattr(slam, "last_frame", None)
+            if snap is not None:
+                images, feats, frame_pt, state = snap
+                self._atomic(
+                    lambda p: draw_frame_mosaic(images, feats, frame_pt,
+                                                path=p, state_text=state),
+                    "live_frame.png")
+            self.n_refreshes += 1
+        except Exception:     # a torn frame must never kill the viewer
+            import traceback
+            traceback.print_exc()

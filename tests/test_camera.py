@@ -153,3 +153,27 @@ def test_jit_and_vmap_project(lafida):
     X = jnp.ones((128, 3), jnp.float64)
     uv, z = f(M_t, X)
     assert uv.shape == (3, 128, 2)
+
+
+def test_scale_camera_geometric_equivalence(lafida):
+    """scale_camera must keep the camera geometry exact: corresponding
+    pixels (scaled about the principal point) lift to identical rays,
+    and projections land at the scaled pixel positions."""
+    rig, _ = lafida
+    cam = jax.tree.map(lambda x: x[1], rig.cams)
+    for k in (0.5, 0.25, 2.0):
+        cam_k = cam_ops.scale_camera(cam, k)
+        assert float(cam_k.width) == round(float(cam.width) * k)
+        rng = np.random.default_rng(5)
+        uv = jnp.asarray(rng.uniform([80, 80], [670, 400], (200, 2)))
+        pp = jnp.asarray([float(cam.u0), float(cam.v0)])
+        pp_k = jnp.asarray([float(cam_k.u0), float(cam_k.v0)])
+        rays = cam_ops.img_to_world(cam, uv)
+        rays_k = cam_ops.img_to_world(cam_k, (uv - pp) * k + pp_k)
+        np.testing.assert_allclose(np.asarray(rays), np.asarray(rays_k),
+                                   atol=1e-12)
+        X = rays * 2.5
+        p = cam_ops.world_to_img(cam, X)
+        p_k = cam_ops.world_to_img(cam_k, X)
+        np.testing.assert_allclose(np.asarray((p - pp) * k + pp_k),
+                                   np.asarray(p_k), atol=1e-9)

@@ -88,3 +88,27 @@ def test_viz_renders(tmp_path, run_state):
                                path=str(tmp_path / "frame.png"),
                                state_text="WORKING")
     assert os.path.getsize(p2) > 10000
+
+
+def test_live_viewer_loop(tmp_path, run_state):
+    """Viewer refresh loop (cViewer::Run, cViewer.cpp:72-144): attach,
+    track a frame so the frame publisher has a snapshot, let the loop
+    republish both PNGs, stop cleanly."""
+    import os
+    import time
+    slam, render, gt = run_state
+    viewer = slam.attach_viewer(str(tmp_path), period_s=0.05)
+    try:
+        slam.track(render(jnp.asarray(gt[23], jnp.float32)), 99.0)
+        deadline = time.time() + 30
+        while viewer.n_refreshes < 2 and time.time() < deadline:
+            time.sleep(0.1)
+        assert viewer.n_refreshes >= 2, "viewer loop never refreshed"
+    finally:
+        viewer.stop()
+    assert not viewer._thread.is_alive()
+    assert os.path.getsize(str(tmp_path / "live_map.png")) > 10000
+    assert os.path.getsize(str(tmp_path / "live_frame.png")) > 10000
+    n_after = viewer.n_refreshes
+    time.sleep(0.2)
+    assert viewer.n_refreshes == n_after, "viewer kept running after stop"

@@ -72,6 +72,9 @@ def main():
     ap.add_argument("--out-dir", default=".")
     ap.add_argument("--async-mapping", action="store_true")
     ap.add_argument("--no-loops", action="store_true")
+    ap.add_argument("--view", action="store_true",
+                    help="live viewer loop: republishes live_map.png / "
+                         "live_frame.png in --out-dir (cViewer role)")
     args = ap.parse_args()
 
     import jax
@@ -99,6 +102,8 @@ def main():
                         async_mapping=args.async_mapping,
                         enable_loop_closing=not args.no_loops,
                         vocabulary_path=voc_path)
+    if args.view:
+        slam.attach_viewer(args.out_dir, period_s=1.0)
 
     if args.synthetic:
         render = synthetic.make_renderer(slam.rig)
