@@ -40,8 +40,32 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 # set it empty to disable).
 _cache = _os.environ.get("MCSLAM_COMPILE_CACHE",
                          _os.path.expanduser("~/.cache/mcslam_jax"))
+
+
+def _host_fingerprint() -> str:
+    """Short hash of this host's CPU capabilities. XLA:CPU AOT results
+    are NOT portable across microarchitectures (loading an executable
+    compiled with e.g. +prefer-no-gather on a host without it risks
+    SIGILL); scoping the cache directory by fingerprint makes entries
+    machine-local even when the filesystem moves between hosts."""
+    import hashlib
+    import platform
+
+    tags = [platform.machine()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features", "model name")):
+                    tags.append(line.strip())
+                    break
+    except OSError:
+        tags.append(platform.processor())
+    return hashlib.sha256("|".join(tags).encode()).hexdigest()[:12]
+
+
 if _cache:
     try:
+        _cache = _os.path.join(_cache, _host_fingerprint())
         _os.makedirs(_cache, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

@@ -75,6 +75,9 @@ def main():
     ap.add_argument("--view", action="store_true",
                     help="live viewer loop: republishes live_map.png / "
                          "live_frame.png in --out-dir (cViewer role)")
+    ap.add_argument("--scale", type=float, default=1.0,
+                    help="rescale the calibration (match a dataset made "
+                         "with tools/make_synthetic_seq.py --scale)")
     args = ap.parse_args()
 
     import jax
@@ -98,10 +101,15 @@ def main():
         voc_path = os.path.join(args.out_dir, "vocabulary.npz")
         save_vocabulary(voc, voc_path)
 
+    rig = None
+    if args.scale != 1.0:
+        from multicol_slam_tpu.ops import rig as rig_ops
+        full_rig, _ = config_io.load_mcs(args.calib, dtype=np.float32)
+        rig = rig_ops.scale_rig(full_rig, args.scale)
     slam = MultiColSLAM(args.calib, settings_path=args.settings,
                         async_mapping=args.async_mapping,
                         enable_loop_closing=not args.no_loops,
-                        vocabulary_path=voc_path)
+                        vocabulary_path=voc_path, rig=rig)
     if args.view:
         slam.attach_viewer(args.out_dir, period_s=1.0)
 
