@@ -73,6 +73,19 @@ class LoopCloser:
         self.consistent_groups.clear()
         self.last_loop_kf = -MIN_KFS_BETWEEN_LOOPS
 
+    def forget_keyframe(self, kf: int):
+        """A culled keyframe must leave the place-recognition state
+        (cMultiKeyFrame::SetBadFlag erases itself from the keyframe
+        database): otherwise it keeps winning DetectLoop candidacies it
+        can never serve, and every such detection resets the
+        covisibility-consistency chain — organic loops then never reach
+        CONSISTENCY_TH."""
+        self.db.erase(kf)
+        self.kf_words.pop(kf, None)
+        self.kf_nodes.pop(kf, None)
+        self.consistent_groups = [
+            (g - {kf}, c) for g, c in self.consistent_groups if g - {kf}]
+
     # ------------------------------------------------------------------
 
     def _bow_of_kf(self, kf: int):

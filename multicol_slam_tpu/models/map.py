@@ -70,6 +70,10 @@ class MapStore:
 
         self._next_pt = 0
         self._next_kf = 0
+        # SetBadFlag fan-out: the reference erases a culled keyframe
+        # from the BoW keyframe database (cMultiKeyFrame::SetBadFlag ->
+        # mpKeyFrameDB->erase); subscribers (loop closer) hook this
+        self.on_kf_removed = None
 
     # ------------------------------------------------------------------
     # allocation
@@ -219,6 +223,8 @@ class MapStore:
         self.kf_parent[self.kf_parent == kf] = parent
         self.kf_valid[kf] = False
         self.kf_features[kf] = None
+        if self.on_kf_removed is not None:
+            self.on_kf_removed(kf)
 
     # ------------------------------------------------------------------
     # covisibility (cMultiKeyFrame::UpdateConnections semantics)

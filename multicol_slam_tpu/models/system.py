@@ -174,6 +174,8 @@ class MultiColSLAM:
                                       KeyFrameDatabase(), self._loop_params,
                                       fuser=self.mapper)
         self.loop_closer.on_loop = self._after_loop
+        # cMultiKeyFrame::SetBadFlag -> KeyFrameDatabase::erase
+        self.map.on_kf_removed = self.loop_closer.forget_keyframe
         self.tracker.reloc_candidates_fn = self._reloc_candidates
         self.tracker.reloc_bow_match_fn = self.loop_closer.bow_match_frame
 
