@@ -1,36 +1,63 @@
-"""Benchmark: 3-camera tracking-loop rate on real TPU hardware.
+"""Benchmark: the honest numbers, on real TPU hardware.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline = the reference's de-facto bar of 25 fps 3-camera real-time
-tracking on a 2012 quad-core CPU (BASELINE.md; Slam_Settings fps=25).
+Prints ONE JSON line. The primary metric is FULL-SYSTEM throughput fps
+— every stage of the per-frame pipeline (extraction, matching, pose LM,
+keyframe policy, local mapping incl. triangulation + local BA +
+culling, loop-closer bookkeeping) over a synthetic 3-camera sequence
+rendered through the REAL Lafida calibration at the real 754x480
+resolution and feature budget. Baseline = the reference's de-facto bar
+of 25 fps 3-camera real-time tracking (BASELINE.md; Slam_Settings
+fps=25, mult_col_slam_lafida.cpp:134-143 paces frames at 1/fps).
 
-The measured loop is the per-frame hot path of SURVEY.md §3.2: full
-3-camera feature extraction (pyramid/FAST/selection/orientation/
-descriptors) + frame-to-frame projection matching + 20-iteration
-pose-only LM — on synthetic fisheye frames rendered through the real
-Lafida calibration at the real 754x480 resolution and feature budget
-(400 features x 8 levels x 3 cams, 32-byte descriptors).
+"extra" carries the secondary metrics the baseline names:
+  hot_loop_fps          — extraction+match+pose-LM device pipeline only
+                          (the round-1 headline number, kept for
+                          continuity; NOT a system number)
+  stage_ms              — median per-stage host-visible latency
+  extract_match_*       — the same extraction+matching kernels timed on
+                          this host's CPU backend vs TPU (the >10x
+                          north star of BASELINE.md)
+  ba_chi2_ratio         — Schur BA final chi2 / chi2 of the noise-only
+                          optimum on a synthetic ground-truth problem
+                          (the g2o-parity proxy: g2o converges to the
+                          same statistical optimum; it is not buildable
+                          in this image, so parity is asserted against
+                          the attainable optimum, not g2o binaries)
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
+CALIB = "/root/reference/Examples/Lafida"
+N_LEVELS, N_FEATURES = 8, 400
 
-def main():
+# Wall-clock budget for the WHOLE bench (the driver kills long runs; a
+# partial JSON beats a dead one). Compiles through a remote-TPU tunnel
+# can cost minutes per jit bucket on a cold persistent cache, so every
+# stage below checks the remaining budget and degrades gracefully.
+BUDGET_S = float(os.environ.get("MCSLAM_BENCH_BUDGET_S", 4500))
+_T_START = time.monotonic()
+
+
+def _remaining() -> float:
+    return BUDGET_S - (time.monotonic() - _T_START)
+
+
+# ---------------------------------------------------------------------------
+# shared setup
+# ---------------------------------------------------------------------------
+
+def _make_extract_and_frames(n_frames=12):
     import jax
     import jax.numpy as jnp
-
     from multicol_slam_tpu.models import extractor as ext
-    from multicol_slam_tpu.models import matcher
-    from multicol_slam_tpu.models import optimizer as opt
-    from multicol_slam_tpu.ops import geometry as geo
     from multicol_slam_tpu.ops.camera import make_extraction_masks
     from multicol_slam_tpu.utils import config_io, synthetic
-
-    CALIB = "/root/reference/Examples/Lafida"
-    N_LEVELS, N_FEATURES = 8, 400
 
     rig, _ = config_io.load_mcs(CALIB, dtype=np.float32)
     masks = []
@@ -42,23 +69,111 @@ def main():
     cfg = ext.ExtractorConfig(n_features=N_FEATURES, n_levels=N_LEVELS)
     extract = ext.make_extractor(cfg, rig.cams, masks_lvl, (480, 754))
     render = synthetic.make_renderer(rig)
-    params = matcher.MatchParams(desc_bytes=32)
-
-    # pre-render a short sequence (rendering is not part of the loop)
     gt = synthetic.smooth_trajectory(100, radius=0.6)
-    n_frames = 12
-    frames = [render(jnp.asarray(gt[t], jnp.float32)) for t in range(n_frames)]
-    jax.block_until_ready(frames)
+    frames = [np.asarray(render(jnp.asarray(gt[t], jnp.float32)))
+              for t in range(n_frames)]
+    return rig, extract, frames, gt
 
-    # fixed-capacity pose-opt observations (pad to static shape)
-    K_OBS = 1024
 
-    from multicol_slam_tpu.ops.camera import world_to_img
+# ---------------------------------------------------------------------------
+# (a) full-system fps: the primary metric
+# ---------------------------------------------------------------------------
+
+def bench_full_system(n_frames=60):
+    """Run the COMPLETE pipeline (keyframes, mapping, BA, loop closer)
+    twice over the same synthetic sequence: pass 1 warms every jit
+    bucket, pass 2 is timed end to end.
+
+    Deadline-aware: if the warm pass is eating the budget (cold compile
+    cache through a slow tunnel), the sequence is truncated at the last
+    warmed frame — the timed pass then replays exactly that prefix, so
+    it hits only warm buckets and still measures the full pipeline."""
+    import jax
+    import jax.numpy as jnp
+    from multicol_slam_tpu.models.system import MultiColSLAM
+    from multicol_slam_tpu.utils import config_io, synthetic
+    from multicol_slam_tpu.utils.trajectory import ate_rmse
+
+    settings = config_io.SlamSettings(
+        n_features=N_FEATURES, n_levels=N_LEVELS, fps=25.0)
+
+    gt = synthetic.smooth_trajectory(n_frames, radius=0.8)
+    # leave at least this much budget for the timed pass + secondaries
+    warm_deadline = _remaining() * 0.55
+
+    def one_pass(timed, upto):
+        slam = MultiColSLAM(CALIB, settings=settings,
+                            capacity_pts=30000, capacity_kfs=128)
+        render = synthetic.make_renderer(slam.rig)
+        frames = [np.asarray(render(jnp.asarray(gt[t], jnp.float32)))
+                  for t in range(upto)]
+        times = []
+        est, used = [], []
+        done = upto
+        t_start = time.perf_counter()
+        for t in range(upto):
+            t0 = time.perf_counter()
+            M = slam.track(jnp.asarray(frames[t]), t / 25.0)
+            times.append(time.perf_counter() - t0)
+            if M is not None:
+                est.append(M)
+                used.append(t)
+            if (t + 1) % 10 == 0:
+                print(f"# bench: {'timed' if timed else 'warm'} pass "
+                      f"frame {t + 1}/{upto} "
+                      f"({time.perf_counter() - t_start:.0f}s)",
+                      file=sys.stderr, flush=True)
+            if not timed and t >= 11 \
+                    and time.perf_counter() - t_start > warm_deadline:
+                done = t + 1      # truncate: enough buckets warmed
+                break
+        total = time.perf_counter() - t_start
+        slam.shutdown()
+        if not timed:
+            return done
+        stage = {k: round(v["median_ms"], 2)
+                 for k, v in slam.tracker.timers.summary().items()}
+        ate = -1.0
+        if len(est) > 3:
+            ep = np.stack([M[:3, 3] for M in est])
+            gp = np.stack([gt[i][:3, 3] for i in used])
+            ate = float(ate_rmse(ep, gp))
+        return dict(
+            system_fps=round(done / total, 2),
+            system_frames=done,
+            median_track_ms=round(float(np.median(times)) * 1e3, 2),
+            p90_track_ms=round(float(np.percentile(times, 90)) * 1e3, 2),
+            n_keyframes=slam.map.n_keyframes(),
+            n_points=slam.map.n_points(),
+            ate_m=round(ate, 4),
+            stage_ms=stage)
+
+    warmed = one_pass(timed=False, upto=n_frames)
+    return one_pass(timed=True, upto=warmed)
+
+
+# ---------------------------------------------------------------------------
+# (b) hot-loop fps (round-1 headline, kept for continuity)
+# ---------------------------------------------------------------------------
+
+def bench_hot_loop():
+    import jax
+    import jax.numpy as jnp
+    from multicol_slam_tpu.models import matcher
+    from multicol_slam_tpu.models import optimizer as opt
+    from multicol_slam_tpu.ops import geometry as geo
     from multicol_slam_tpu.ops.geometry import inv_se3
+    from multicol_slam_tpu.ops.camera import world_to_img
     from multicol_slam_tpu.ops.rig import mt_mc
+    from multicol_slam_tpu.utils import synthetic
+
+    rig, extract, frames, gt = _make_extract_and_frames()
+    params = matcher.MatchParams(desc_bytes=32)
+    K_OBS = 1024
+    n_frames = len(frames)
+    frames = [jnp.asarray(f) for f in frames]
 
     def scene_points(M_t, feats):
-        """Map-point stand-ins: renderer wall hits behind each keypoint."""
         T = mt_mc(M_t, rig.M_c)
         rays_w = jnp.einsum("nij,nkj->nki", T[:, :3, :3], feats.ray)
         t = synthetic._ray_box_exit(T[:, None, :3, 3], rays_w)
@@ -66,10 +181,6 @@ def main():
 
     @jax.jit
     def frame_step(images, last, last_pts, mt_min):
-        """ONE device dispatch per frame: extraction + matching + 20-iter
-        pose LM + map-point refresh. The host never syncs inside the
-        loop, so dispatch overlaps device work (the reference's thread
-        pipeline, collapsed into async dispatch)."""
         feats = extract(images)
         M_pred = geo.cayley2hom(mt_min)
         Tinv = inv_se3(mt_mc(M_pred, rig.M_c))
@@ -97,7 +208,6 @@ def main():
         new_pts = scene_points(geo.cayley2hom(mt), feats)
         return feats, new_pts, mt, n_in
 
-    # warm up (compile)
     f_prev = extract(frames[0])
     pts_prev = jax.jit(scene_points)(jnp.asarray(gt[0], jnp.float32), f_prev)
     mt_est = jnp.asarray(geo.hom2cayley(jnp.asarray(gt[0], jnp.float32)))
@@ -105,7 +215,6 @@ def main():
                                                 mt_est)
     jax.block_until_ready(mt_est)
 
-    # timed loop: python dispatch per frame, single sync at the end
     t0 = time.time()
     n_loops = 0
     for rep in range(4):
@@ -114,14 +223,187 @@ def main():
                 frames[t], f_prev, pts_prev, mt_est)
             n_loops += 1
     jax.block_until_ready(mt_est)
-    dt = (time.time() - t0) / n_loops
-    fps = 1.0 / dt
+    return round(n_loops / (time.time() - t0), 2)
 
+
+# ---------------------------------------------------------------------------
+# (c) extraction+matching: TPU vs CPU (the >10x north star)
+# ---------------------------------------------------------------------------
+
+def _extract_match_time(n_timed=4):
+    """Median seconds per frame for extraction + frame-to-frame matching
+    on whatever backend this process runs."""
+    import jax
+    import jax.numpy as jnp
+    from multicol_slam_tpu.models import matcher
+
+    rig, extract, frames, _ = _make_extract_and_frames(n_frames=n_timed + 2)
+    params = matcher.MatchParams(desc_bytes=32)
+
+    @jax.jit
+    def step(images, last):
+        feats = extract(images)
+        uv_pred = feats.xy          # stand-in prediction: same-frame coords
+        ok = feats.valid
+        m = matcher.match_frame_to_frame(
+            feats, last, last.valid, jnp.zeros_like(feats.valid),
+            uv_pred, ok, params, th=15.0)
+        return feats, m
+
+    last = extract(jnp.asarray(frames[0]))
+    last, m = step(jnp.asarray(frames[1]), last)   # compile
+    jax.block_until_ready(m)
+    ts = []
+    for t in range(2, 2 + n_timed):
+        t0 = time.perf_counter()
+        last, m = step(jnp.asarray(frames[t]), last)
+        jax.block_until_ready(m)
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def bench_cpu_compare():
+    """Time extraction+matching here (TPU), then re-run this script as a
+    CPU subprocess (platform choice is process-global) for the ratio."""
+    tpu_s = _extract_match_time()
+    env = dict(os.environ, JAX_PLATFORMS="cpu", MCSLAM_BENCH_CPU_PROBE="1")
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cpu-probe"],
+            env=env, capture_output=True, text=True,
+            timeout=max(120.0, min(1800.0, _remaining() - 60)))
+        cpu_s = float(json.loads(out.stdout.strip().splitlines()[-1])["cpu_s"])
+    except Exception:
+        cpu_s = -1.0
+    return dict(
+        extract_match_tpu_ms=round(tpu_s * 1e3, 2),
+        extract_match_cpu_ms=round(cpu_s * 1e3, 2) if cpu_s > 0 else -1,
+        extract_match_speedup_vs_cpu=(
+            round(cpu_s / tpu_s, 2) if cpu_s > 0 else -1))
+
+
+def cpu_probe():
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    print(json.dumps({"cpu_s": _extract_match_time(n_timed=2)}))
+
+
+# ---------------------------------------------------------------------------
+# (d) BA chi2 parity proxy
+# ---------------------------------------------------------------------------
+
+def bench_chi2_parity():
+    """Synthetic ground-truth BA: perturb poses+points, optimize, and
+    compare the robust cost to the cost at the noise-only optimum (the
+    ground-truth parameters). g2o's LM converges to the same optimum;
+    ratio <= 1.01 is the 'chi2 within 1% of g2o' claim, stated as a
+    proxy because g2o itself is not buildable in this image."""
+    import jax
+    import jax.numpy as jnp
+    from multicol_slam_tpu.models import optimizer as opt
+    from multicol_slam_tpu.ops.camera import world_to_img
+    from multicol_slam_tpu.ops.geometry import cayley2hom, inv_se3
+    from multicol_slam_tpu.ops.rig import mt_mc
+    from multicol_slam_tpu.utils import config_io
+
+    rig, _ = config_io.load_mcs(CALIB, dtype=np.float64)
+    rng = np.random.default_rng(0)
+    P = 400
+    X = rng.standard_normal((P, 3))
+    X = X / np.linalg.norm(X, axis=1, keepdims=True) * rng.uniform(
+        2.0, 5.0, (P, 1))
+    mt_all = np.stack([np.zeros(6)] + [
+        np.concatenate([rng.standard_normal(3) * 0.02,
+                        rng.standard_normal(3) * 0.3]) for _ in range(5)])
+    NOISE = 0.5  # px
+
+    rows = []
+    for kf, mt in enumerate(mt_all):
+        T = np.asarray(inv_se3(mt_mc(cayley2hom(jnp.asarray(mt)),
+                                     jnp.asarray(rig.M_c))))
+        for c in range(rig.n_cams):
+            Xc = X @ T[c, :3, :3].T + T[c, :3, 3]
+            uv = np.asarray(world_to_img(
+                jax.tree.map(lambda a: jnp.asarray(a[c]), rig.cams),
+                jnp.asarray(Xc)))
+            ok = (Xc[:, 2] > 0.3) & (uv[:, 0] > 40) & (uv[:, 0] < 714) \
+                & (uv[:, 1] > 40) & (uv[:, 1] < 440)
+            for p in np.nonzero(ok)[0]:
+                rows.append((uv[p] + rng.normal(0, NOISE, 2), kf, c, p))
+    K = len(rows)
+    uv = np.zeros((K + 1, 2))
+    kf = np.zeros(K + 1, np.int32)
+    cam = np.zeros(K + 1, np.int32)
+    pt = np.zeros(K + 1, np.int32)
+    valid = np.zeros(K + 1, bool)
+    for i, (m, f, c, p) in enumerate(rows):
+        uv[i], kf[i], cam[i], pt[i], valid[i] = m, f, c, p, True
+    obs = opt.BAObservations(
+        uv=jnp.asarray(uv), kf=jnp.asarray(kf), cam=jnp.asarray(cam),
+        pt=jnp.asarray(pt), inv_sigma2=jnp.ones(K + 1),
+        valid=jnp.asarray(valid))
+    lists = [[] for _ in range(P)]
+    for i, (_, f, c, p) in enumerate(rows):
+        lists[p].append(i)
+    M = max(len(l) for l in lists)
+    pt_obs = np.full((P, M), K, np.int32)
+    for p, l in enumerate(lists):
+        pt_obs[p, :len(l)] = l
+    problem = opt.BAProblem(
+        obs=obs, pt_obs=jnp.asarray(pt_obs),
+        fixed_kf=jnp.asarray([True] + [False] * 5),
+        fixed_pt=jnp.zeros(P, bool))
+
+    def total_chi2(mt0, X0, iters):
+        _, _, chi2 = opt.bundle_adjustment(
+            rig, jnp.asarray(mt0), jnp.asarray(X0), problem, iters=iters)
+        return float(np.asarray(chi2)[np.asarray(obs.valid)].sum())
+
+    # the attainable optimum: start AT ground truth, polish
+    chi2_opt = total_chi2(mt_all, X, iters=8)
+    # the benchmark: start from a real perturbation
+    mt0 = mt_all + rng.standard_normal(mt_all.shape) * 0.01
+    mt0[0] = mt_all[0]
+    X0 = X + rng.standard_normal(X.shape) * 0.05
+    chi2_ba = total_chi2(mt0, X0, iters=20)
+    return dict(ba_chi2_ratio=round(chi2_ba / chi2_opt, 4),
+                ba_chi2_final=round(chi2_ba, 1),
+                ba_n_obs=K)
+
+
+# ---------------------------------------------------------------------------
+
+def main():
+    if "--cpu-probe" in sys.argv or os.environ.get("MCSLAM_BENCH_CPU_PROBE"):
+        cpu_probe()
+        return
+    # secondary stages run only while budget remains; each failure or
+    # skip degrades that metric to an empty dict, never kills the line
+    extra = {}
+
+    def stage(fn, min_budget_s, label):
+        if _remaining() < min_budget_s:
+            print(f"# bench: skipping {label} ({_remaining():.0f}s "
+                  f"budget left)", file=sys.stderr)
+            return {}
+        try:
+            return fn()
+        except Exception as e:      # pragma: no cover - defensive
+            print(f"# bench: {label} failed: {e!r}", file=sys.stderr)
+            return {}
+
+    full = bench_full_system()
+    extra.update(stage(lambda: {"hot_loop_fps": bench_hot_loop()},
+                       240, "hot_loop"))
+    extra.update(stage(bench_cpu_compare, 420, "cpu_compare"))
+    extra.update(stage(bench_chi2_parity, 90, "chi2_parity"))
+    fps = full.pop("system_fps")
     print(json.dumps({
-        "metric": "3cam_tracking_fps",
-        "value": round(fps, 2),
+        "metric": "3cam_full_system_fps",
+        "value": fps,
         "unit": "frames/sec",
         "vs_baseline": round(fps / 25.0, 2),
+        "extra": {**full, **extra},
     }))
 
 
