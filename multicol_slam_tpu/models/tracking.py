@@ -589,8 +589,13 @@ class Tracker:
                 cands = self.reloc_candidates_fn(self.cur_feats)
             except Exception:
                 cands = None
-        if not cands:
-            cands = m.keyframe_ids()[-10:].tolist()
+        # always ALSO try the most recent keyframes: BoW candidates can
+        # be aliased to the wrong place (similar-looking rooms) while
+        # the KF that actually overlaps the lost view is simply the
+        # last one inserted — losing it means relocalization never
+        # recovers even though the answer is trivial
+        recent = m.keyframe_ids()[-10:].tolist()
+        cands = list(dict.fromkeys((cands or []) + recent))
         best = None
         for kf in cands:
             f_kf = m.kf_features[kf]

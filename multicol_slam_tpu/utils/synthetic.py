@@ -74,12 +74,19 @@ def _ray_box_exit(origin: jax.Array, direction: jax.Array,
 
 
 def make_renderer(rig: Rig, dtype=jnp.float32, room_half=None,
-                  door_wall: dict | None = None):
+                  door_wall: dict | list[dict] | None = None):
     """Returns render(M_t) -> (n_cams, H, W) float32 images in [0, 255].
 
     Per-camera pixel rays are precomputed once (camera intrinsics are
     static); each frame is two batched ops: rotate rays into world +
     sample the 3-D texture at the wall hit points.
+
+    ``door_wall``: one dict (or a list of them) describing interior
+    occluding walls normal to z, each with a rectangular door opening:
+    {z, door_half_x, door_half_y, door_cx, door_cy}. Two walls with
+    OFFSET doors form a sightline baffle — rooms either side share no
+    landmarks at all (true broken covisibility for loop-closure tests;
+    a single centered door leaks sightlines through the opening).
     """
     h = int(float(rig.cams.height[0]))
     w = int(float(rig.cams.width[0]))
@@ -104,20 +111,24 @@ def make_renderer(rig: Rig, dtype=jnp.float32, room_half=None,
         rays_w = jnp.einsum("nij,nhwj->nhwi", R, rays)
         o = C[:, None, None, :]
         t = _ray_box_exit(o, rays_w, room_half)
-        if door_wall is not None:
+        walls = door_wall if isinstance(door_wall, (list, tuple)) \
+            else ([door_wall] if door_wall else [])
+        for wall in walls:
             # interior occluding wall at z = wz with a door opening —
-            # two rooms whose keyframes share no landmarks except
-            # through the doorway (enables organic loop closures)
-            wz = door_wall.get("z", 0.0)
-            dx = door_wall.get("door_half_x", 0.7)
-            dy = door_wall.get("door_half_y", 1.2)
+            # rooms whose keyframes share no landmarks except through
+            # the doorway (enables organic loop closures)
+            wz = wall.get("z", 0.0)
+            dx = wall.get("door_half_x", 0.7)
+            dy = wall.get("door_half_y", 1.2)
+            cx = wall.get("door_cx", 0.0)
+            cy = wall.get("door_cy", 0.0)
             dz = rays_w[..., 2]
             t_wall = (wz - o[..., 2]) / jnp.where(jnp.abs(dz) < 1e-9,
                                                   1e-9, dz)
             px = o[..., 0] + t_wall * rays_w[..., 0]
             py = o[..., 1] + t_wall * rays_w[..., 1]
-            solid = (t_wall > 1e-4) & ~((jnp.abs(px) < dx)
-                                        & (jnp.abs(py) < dy))
+            solid = (t_wall > 1e-4) & ~((jnp.abs(px - cx) < dx)
+                                        & (jnp.abs(py - cy) < dy))
             t = jnp.where(solid & (t_wall < t), t_wall, t)
         hits = o + t[..., None] * rays_w
         img = _texture3d(hits, jnp.asarray(lat))
@@ -158,6 +169,90 @@ def two_room_loop_trajectory(n_frames: int, depth: float = 1.6,
         [0.0, -0.4], [0.0, -depth],
     ])
     # arc-length resample
+    seg = np.linalg.norm(np.diff(wps, axis=0), axis=1)
+    cum = np.concatenate([[0], np.cumsum(seg)])
+    s = np.linspace(0, cum[-1], n_frames)
+    x = np.interp(s, cum, wps[:, 0])
+    z = np.interp(s, cum, wps[:, 1])
+    out = np.zeros((n_frames, 4, 4))
+    for i in range(n_frames):
+        out[i] = np.eye(4)
+        out[i][:3, 3] = [x[i], 0.0, z[i]]
+    return out
+
+
+def two_room_revisit_trajectory(n_frames: int, depth: float = 1.6,
+                                width: float = 1.4) -> np.ndarray:
+    """Two-room tour that RE-TOURS room A after returning through the
+    door: an initialization-friendly lateral opening segment, the room-B
+    loop of :func:`two_room_loop_trajectory`, then a dwell circuit in
+    room A so several keyframes are created after the revisit — the
+    loop closer needs CONSISTENCY_TH consecutive detections before it
+    fires (cLoopClosing.cpp:166-241)."""
+    wps = np.array([
+        # lateral start segment (parallax for initialization)
+        [0.0, -depth], [0.45, -depth * 1.05], [0.0, -0.9],
+        # through the door, tour room B, come back
+        [0.0, -0.4], [0.0, 0.5], [width * 0.7, depth * 0.7],
+        [0.0, depth * 1.2], [-width * 0.7, depth * 0.7], [0.0, 0.5],
+        [0.0, -0.4], [0.0, -depth],
+        # dwell: re-tour room A
+        [width * 0.5, -depth * 1.2], [0.0, -depth * 1.5],
+        [-width * 0.5, -depth * 1.2], [0.0, -depth],
+    ])
+    seg = np.linalg.norm(np.diff(wps, axis=0), axis=1)
+    cum = np.concatenate([[0], np.cumsum(seg)])
+    s = np.linspace(0, cum[-1], n_frames)
+    x = np.interp(s, cum, wps[:, 0])
+    z = np.interp(s, cum, wps[:, 1])
+    out = np.zeros((n_frames, 4, 4))
+    for i in range(n_frames):
+        out[i] = np.eye(4)
+        out[i][:3, 3] = [x[i], 0.0, z[i]]
+    return out
+
+
+# Baffle world: two interior walls with OFFSET doors. A near-180-degree
+# fisheye rig sees straight through a single doorway, so a one-wall
+# "two-room" split never actually breaks covisibility; two offset doors
+# leave no straight sightline between room A (z < 0) and room B
+# (z > 0.8), so revisiting room A is a genuine loop-closure event.
+BAFFLE_ROOM_HALF = (2.2, 2.2, 3.6)
+BAFFLE_WALLS = (
+    dict(z=0.0, door_half_x=0.5, door_half_y=1.2, door_cx=-0.9),
+    dict(z=0.8, door_half_x=0.5, door_half_y=1.2, door_cx=0.9),
+)
+
+
+def baffle_revisit_trajectory(n_frames: int) -> np.ndarray:
+    """Tour room A -> corridor (two offset doors) -> tour room B ->
+    return -> RE-TOUR room A. Pure translation (identity rotation) like
+    the other synthetic paths; the opening segment is lateral for
+    initialization parallax; the closing circuit keeps creating
+    keyframes after the revisit so DetectLoop can reach its
+    CONSISTENCY_TH consecutive detections (cLoopClosing.cpp:166-241)."""
+    # corners are ROUNDED with intermediate waypoints: the per-frame
+    # motion in the tight corridor is large relative to the matching
+    # windows, so a sharp 90-degree turn breaks the constant-velocity
+    # motion model and loses tracking deterministically
+    corridor_out = [
+        [-0.9, -0.9], [-0.9, -0.3], [-0.85, 0.1], [-0.4, 0.42],
+        [0.4, 0.42], [0.85, 0.7], [0.9, 1.3],
+    ]
+    wps = np.array([
+        # room A: lateral opening (parallax) + approach to door 1
+        [0.0, -2.2], [0.5, -2.35], [-0.2, -1.5],
+        *corridor_out,
+        # room B tour
+        [0.3, 2.0], [-0.3, 2.2], [-0.8, 1.6],
+        *corridor_out[::-1],
+        # room A re-tour (the revisit): a smooth circuit — sharp
+        # direction reversals break the motion model and force
+        # relocalizations, which re-anchor the map outside the
+        # loop-closing path under test
+        [-0.3, -1.4], [0.3, -1.7], [0.5, -2.2], [0.0, -2.5],
+        [-0.6, -2.1], [-0.4, -1.6],
+    ])
     seg = np.linalg.norm(np.diff(wps, axis=0), axis=1)
     cum = np.concatenate([[0], np.cumsum(seg)])
     s = np.linspace(0, cum[-1], n_frames)
