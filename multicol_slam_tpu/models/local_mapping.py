@@ -98,12 +98,27 @@ def assemble_ba_problem(m: MapStore, kfs: list[int], fixed_mask: np.ndarray,
         if fill[p] < Mo:
             pt_obs_tab[p, fill[p]] = i
             fill[p] += 1
+    # bucket the KEYFRAME and POINT axes too: without this every map
+    # growth step compiles a fresh BA executable (hundreds per run —
+    # slow everywhere, and enough accumulated LLVM JIT code to exhaust
+    # its allocator in long CPU runs). Padded KFs/points are marked
+    # fixed, so LM never updates them; their pt_obs rows point at the
+    # guaranteed-invalid observation row.
+    P, N = len(pts), len(kfs)
+    Pcap = bucket(P, 256)
+    Ncap = bucket(N, 8)
+    pt_obs_tab = np.concatenate(
+        [pt_obs_tab, np.full((Pcap - P, Mo), cap - 1, np.int32)], 0)
+    fixed_kf = np.concatenate([fixed_mask, np.ones(Ncap - N, bool)])
+    fixed_pt = np.concatenate([np.zeros(P, bool), np.ones(Pcap - P, bool)])
     problem = opt.BAProblem(
         obs=obs, pt_obs=jnp.asarray(pt_obs_tab),
-        fixed_kf=jnp.asarray(fixed_mask),
-        fixed_pt=jnp.zeros(len(pts), bool))
-    mt0 = np.stack([m.kf_pose[k] for k in kfs])
-    X0 = m.pt_pos[pts].astype(np.float64)
+        fixed_kf=jnp.asarray(fixed_kf),
+        fixed_pt=jnp.asarray(fixed_pt))
+    mt0 = np.concatenate([np.stack([m.kf_pose[k] for k in kfs]),
+                          np.zeros((Ncap - N, 6))], 0)
+    X0 = np.concatenate([m.pt_pos[pts].astype(np.float64),
+                         np.ones((Pcap - P, 3))], 0)
     return problem, mt0, X0, pts, obs_list
 
 
@@ -477,7 +492,7 @@ class LocalMapper:
         for i, k in enumerate(kfs):
             if not fixed_mask[i]:
                 m.kf_pose[k] = mt[i]
-        m.pt_pos[pts] = X.astype(np.float32)
+        m.pt_pos[pts] = X[:len(pts)].astype(np.float32)
         # prune high-chi2 observations (cOptimizer.cpp:766-816)
         th = opt.HUBER_LOCAL ** 2
         for i, (xy, ki, c, pi, s2, okf, slot) in enumerate(obs_list):

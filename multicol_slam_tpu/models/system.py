@@ -319,8 +319,8 @@ class MultiColSLAM:
             mesh = Mesh(np.array(devices), (ba_sharding.OBS_AXIS,))
             obs = ba_sharding.pad_obs_to_multiple(problem.obs, len(devices))
             ba = ba_sharding.make_sharded_ba(
-                mesh, self.rig, n_kf=len(kfs), n_pt=len(pts), iters=iters,
-                huber=opt.HUBER_GLOBAL)
+                mesh, self.rig, n_kf=mt0.shape[0], n_pt=X0.shape[0],
+                iters=iters, huber=opt.HUBER_GLOBAL)
             mt, X, cost = ba(jnp.asarray(mt0), jnp.asarray(X0), obs,
                              problem.pt_obs, problem.fixed_kf,
                              problem.fixed_pt)
@@ -335,5 +335,5 @@ class MultiColSLAM:
         for i, k in enumerate(kfs):
             if not fixed_mask[i]:
                 m.kf_pose[k] = mt[i]
-        m.pt_pos[pts] = np.asarray(X, np.float32)
+        m.pt_pos[pts] = np.asarray(X, np.float32)[:len(pts)]
         return cost
