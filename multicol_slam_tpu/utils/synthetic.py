@@ -249,9 +249,11 @@ def baffle_revisit_trajectory(n_frames: int) -> np.ndarray:
         # room A re-tour (the revisit): a smooth circuit — sharp
         # direction reversals break the motion model and force
         # relocalizations, which re-anchor the map outside the
-        # loop-closing path under test
+        # loop-closing path under test; 1.5 laps so the loop detector
+        # gets several keyframes of consistent revisit evidence
         [-0.3, -1.4], [0.3, -1.7], [0.5, -2.2], [0.0, -2.5],
-        [-0.6, -2.1], [-0.4, -1.6],
+        [-0.6, -2.1], [-0.4, -1.6], [0.1, -1.5], [0.4, -1.9],
+        [0.1, -2.3], [-0.4, -2.1],
     ])
     seg = np.linalg.norm(np.diff(wps, axis=0), axis=1)
     cum = np.concatenate([[0], np.cumsum(seg)])
