@@ -21,6 +21,8 @@ candidate bookkeeping and map surgery are host-side.
 from __future__ import annotations
 
 import dataclasses
+import os
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -243,6 +245,14 @@ class LoopCloser:
     def _compute_sim3_and_correct(self, kf: int, cand: int) -> bool:
         m = self.map
         pairs = self._matched_point_pairs(kf, cand)
+        # drop pairs where both sides are the SAME landmark (possible
+        # only when tracking already re-associated across the loop,
+        # e.g. through a shared corridor): such a pair's Sim3 residual
+        # is satisfied identically by the current relative estimate, so
+        # it carries zero alignment information and only votes for a
+        # no-op correction in the RANSAC, diluting the real loop signal
+        # carried by (new landmark, old landmark) pairs
+        pairs = [p for p in pairs if p[0] != p[1]]
         if len(pairs) < MIN_BOW_MATCHES:
             return False
         p1 = [p[0] for p in pairs]
@@ -562,8 +572,28 @@ class LoopCloser:
             meas=jnp.asarray(meas),
             valid=jnp.asarray(np.arange(Ecap) < E),
             fixed=jnp.asarray(fixed))
+        # the rig is metric: hold scale in the pose graph (see
+        # optimize_essential_graph docstring)
         logs_opt = np.asarray(sim3_opt.optimize_essential_graph(
-            jnp.asarray(logs_in), graph, iters=20))[:N]
+            jnp.asarray(logs_in), graph, iters=20, fix_scale=True))[:N]
+        if os.environ.get("MCSLAM_DEBUG"):
+            d_rot = np.degrees(np.linalg.norm(
+                np.asarray(sim3_log(delta))[:3]))
+            d_t = np.linalg.norm(np.asarray(sim3_log(delta))[3:6])
+            mv = np.linalg.norm(logs_opt - logs_init, axis=1)
+            print(f"  [correct kf={kf} loop={loop_kf}] "
+                  f"delta_rot={d_rot:.2f}deg delta_t={d_t:.3f} "
+                  f"group={sorted(group)} E={E} N={N} "
+                  f"graph_moved max={mv.max():.4f} mean={mv.mean():.4f}",
+                  file=sys.stderr, flush=True)
+            np.savez("/tmp/mcslam_graph_dump.npz",
+                     logs_pre=logs_pre, logs_init=logs_init,
+                     logs_opt=logs_opt,
+                     edge_i=np.asarray(ei), edge_j=np.asarray(ej),
+                     meas=np.asarray(meas), fixed=fixed,
+                     kf_ids=np.asarray(kf_ids),
+                     group=np.asarray(sorted(group)),
+                     pair=np.asarray([kf, loop_kf]), n_edges=E, n_vtx=N)
 
         # (6) write back poses + remap points via S_opt^-1 o S_init
         for k, i in idx_of.items():

@@ -170,14 +170,22 @@ class EssentialGraph(NamedTuple):
     fixed: jax.Array       # (N,) bool
 
 
-@functools.partial(jax.jit, static_argnames=("iters",))
+@functools.partial(jax.jit, static_argnames=("iters", "fix_scale"))
 def optimize_essential_graph(S0_log: jax.Array, graph: EssentialGraph,
-                             iters: int = 20):
+                             iters: int = 20, fix_scale: bool = False):
     """Gauss-Newton on the Sim3 pose graph.
 
     S0_log: (N, 7) initial vertex estimates as sim3_log of S_iw
     (world-to-keyframe sim3). Returns (N, 7) optimized logs. Residual per
     edge: log( S_meas_ij o S_j o S_i^-1 )  == 0 when consistent.
+
+    fix_scale: hold every vertex's scale at its initial value — the
+    reference's VertexSim3Expmap_Multi carries exactly this gate
+    (g2o_MultiCol_sim3_expmap.h:63-66, oplusImpl zeroes update[6]) but
+    never enables it; for a metric multi-camera rig scale IS observable
+    and letting it float lets a loop discrepancy be absorbed by a scale
+    ramp around the cycle (warping the map) instead of by the rotation/
+    translation distribution the correction is for.
     """
     N = S0_log.shape[0]
 
@@ -222,6 +230,10 @@ def optimize_essential_graph(S0_log: jax.Array, graph: EssentialGraph,
         Hmat = H.transpose(0, 2, 1, 3).reshape(7 * N, 7 * N)
         gvec = g.reshape(7 * N)
         fixed7 = jnp.repeat(graph.fixed, 7)
+        if fix_scale:
+            # freeze the sigma dof of every vertex (log layout
+            # [omega, upsilon, sigma]: component 6)
+            fixed7 = fixed7 | (jnp.arange(7 * N) % 7 == 6)
         lam = 1e-6
         Hmat = Hmat + lam * jnp.eye(7 * N, dtype=Hmat.dtype)
         Hmat = jnp.where(fixed7[:, None] | fixed7[None, :],
