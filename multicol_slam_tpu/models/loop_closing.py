@@ -43,6 +43,7 @@ CONSISTENCY_TH = 3             # 3 consecutive consistent detections
 MIN_BOW_MATCHES = 15           # :258
 MIN_SIM3_INLIERS = 20          # :343-364
 MIN_TOTAL_MATCHES = 20         # :400-424
+MIN_FEAT_GRAPH = 100           # cOptimizerLoopStuff.cpp:303 minNumFeat
 RANSAC_HYPS = 256
 RANSAC_CHI2 = 9.21             # per-direction gate (cSim3Solver.cpp:374-415)
 
@@ -54,8 +55,14 @@ class LoopCloser:
     voc: Vocabulary
     db: KeyFrameDatabase
     params: matcher.MatchParams
-    fix_scale: bool = False
+    # the multi-camera rig is metric, so Sim3 scale is observable — hold
+    # it in OptimizeSim3 and the essential graph by default (see
+    # optimize_essential_graph's docstring; the reference's vertex type
+    # defines this gate but never enables it)
+    fix_scale: bool = True
     fuser: object = None          # LocalMapper for post-correction fusing
+    global_ba_iters: int = 8      # post-loop global BA (0 disables)
+    scale_factor: float = 1.2
 
     def __post_init__(self):
         self.last_loop_kf = -MIN_KFS_BETWEEN_LOOPS
@@ -471,15 +478,27 @@ class LoopCloser:
         delta = S_corr.compose(S_kf.inverse())
 
         group = set(m.covisible_keyframes(kf)) | {kf}
+        # the loop keyframe is the gauge anchor of the whole correction
+        # (its pose defines S_corr and it is held fixed in the essential
+        # graph); it can only appear covisible here if tracking already
+        # re-associated across the loop — never "correct" it
+        group.discard(loop_kf)
         pre_conn = {g: set(m.covisible_keyframes(g)) for g in group}
 
-        # (2) direct correction of the covisible group + its points
+        # (2) direct correction of the covisible group + its points.
+        # Each member is corrected THROUGH ITS OWN relative pose to the
+        # current keyframe — S_i_new = (S_i o S_kf^-1) o S_corr, the
+        # reference's g2oCorrectedSiw = g2oSic * mg2oScw
+        # (cLoopClosing.cpp:471-487) — which preserves every intra-group
+        # relative pose exactly. (A common left-multiplied world delta
+        # does NOT: relatives get conjugated, planting spurious
+        # residuals on intra-group edges.)
         logs_init = logs_pre.copy()
         corrected_by: dict[int, int] = {}     # point -> corrected ref vertex
         for gkf in group:
             i = idx_of[gkf]
             S_old = sim3_exp(jnp.asarray(logs_pre[i]))
-            S_new = delta.compose(S_old)
+            S_new = S_old.compose(S_kf.inverse()).compose(S_corr)
             logs_init[i] = np.asarray(sim3_log(S_new))
             arr = m.kf_pt[gkf]
             pts = np.unique(arr[arr >= 0])
@@ -494,10 +513,6 @@ class LoopCloser:
                     corrected_by[int(p)] = i
             m.kf_pose[gkf] = np.asarray(hom2cayley(jnp.asarray(
                 np.linalg.inv(np.asarray(S_new.to_se3())))))
-
-        # loop edge bookkeeping
-        m.kf_loop_edges[kf].add(loop_kf)
-        m.kf_loop_edges[loop_kf].add(kf)
 
         # (3) SearchAndFuse BEFORE the pose graph so the new covisibility
         # links (LoopConnections) feed it, mirroring the reference order
@@ -520,9 +535,17 @@ class LoopCloser:
             for nk in set(m.covisible_keyframes(g)) - pre_conn[g] - group:
                 loop_connections.append((g, nk))
 
-        # (5) essential graph
+        # (5) essential graph. Edge families follow
+        # cOptimizerLoopStuff.cpp:349-463 — crucially, the pre-measured
+        # spanning-tree edges are added INDEPENDENTLY of the
+        # loop-connection edges: a boundary pair (last uncorrected KF,
+        # first corrected KF) may carry BOTH a corrected-measured loop
+        # edge and a pre-measured spanning edge, and it is the pre edge
+        # whose residual the optimizer distributes around the cycle.
+        # (An all-category dedup silently drops that edge and the whole
+        # optimization becomes a no-op.)
         ei, ej, meas = [], [], []
-        seen_edges = set()
+        loop_pairs = set()
 
         def add_edge(a, b, logs_src):
             ia, ib = idx_of[a], idx_of[b]
@@ -531,25 +554,42 @@ class LoopCloser:
             meas.append(np.asarray(sim3_log(Sa.compose(Sb.inverse()))))
             ei.append(ia)
             ej.append(ib)
-            seen_edges.add((a, b))
-            seen_edges.add((b, a))
 
-        # new loop constraints carry the measured S12: relative poses of
-        # the CORRECTED estimates
+        # new loop constraints carry relative poses of the CORRECTED
+        # estimates, gated by the reference's minNumFeat=100 except the
+        # fired pair itself (cOptimizerLoopStuff.cpp:362-365): fusion's
+        # replace-forwarding also creates WEAK cross-links (including to
+        # mid-trajectory keyframes); admitting those as zero-residual
+        # loop edges staples the graph together in its broken state.
         for a, b in loop_connections:
-            if a in idx_of and b in idx_of and (a, b) not in seen_edges:
-                add_edge(a, b, logs_init)
-        # odometry-era constraints from the PRE-correction poses
+            if a not in idx_of or b not in idx_of:
+                continue
+            if (a, b) in loop_pairs or (b, a) in loop_pairs:
+                continue
+            if not (a == kf and b == loop_kf) \
+                    and m.covisibility_weights(a).get(b, 0) < MIN_FEAT_GRAPH:
+                continue
+            loop_pairs.add((a, b))
+            add_edge(a, b, logs_init)
+        # odometry-era constraints from the PRE-correction poses:
+        # spanning tree (unconditional), previous loop closures, and
+        # strong-covisibility edges. Covis pairs already carrying a
+        # loop-connection edge are skipped — their pre measurement is
+        # the drifted relative, which would fight the loop constraint
+        # one-to-one (the ORB-SLAM1-era double-add this reference
+        # inherits; fixed upstream via sInsertedEdges).
         for k in kf_ids:
             par = int(m.kf_parent[k])
-            if par >= 0 and par in idx_of and (par, k) not in seen_edges:
+            if par >= 0 and par in idx_of:
                 add_edge(par, k, logs_pre)
             for le in m.kf_loop_edges.get(k, ()):
-                if le in idx_of and (le, k) not in seen_edges:
+                if le in idx_of and le < k:
                     add_edge(le, k, logs_pre)
             w = m.covisibility_weights(k)
             for ok_, wt in w.items():
-                if wt >= 100 and ok_ in idx_of and (ok_, k) not in seen_edges:
+                if wt >= MIN_FEAT_GRAPH and ok_ in idx_of and ok_ < k \
+                        and (ok_, k) not in loop_pairs \
+                        and (k, ok_) not in loop_pairs:
                     add_edge(ok_, k, logs_pre)
         if not ei:
             return
@@ -572,10 +612,9 @@ class LoopCloser:
             meas=jnp.asarray(meas),
             valid=jnp.asarray(np.arange(Ecap) < E),
             fixed=jnp.asarray(fixed))
-        # the rig is metric: hold scale in the pose graph (see
-        # optimize_essential_graph docstring)
         logs_opt = np.asarray(sim3_opt.optimize_essential_graph(
-            jnp.asarray(logs_in), graph, iters=20, fix_scale=True))[:N]
+            jnp.asarray(logs_in), graph, iters=20,
+            fix_scale=self.fix_scale))[:N]
         if os.environ.get("MCSLAM_DEBUG"):
             d_rot = np.degrees(np.linalg.norm(
                 np.asarray(sim3_log(delta))[:3]))
@@ -615,6 +654,49 @@ class LoopCloser:
             pts = np.asarray(plist, np.int32)
             Xb = _apply_sim3_np(S_old, m.pt_pos[pts].astype(np.float64))
             m.pt_pos[pts] = _apply_sim3_np(S_new_inv, Xb).astype(np.float32)
+
+        # loop-edge bookkeeping AFTER the graph, mirroring the reference
+        # (AddLoopEdge follows OptimizeEssentialGraph): during the
+        # optimization the fired pair must appear ONLY as the
+        # corrected-measured loop edge — recording it first would let
+        # the old-loop-edges section re-add the same pair with a
+        # PRE-correction measurement that fights the correction 1:1
+        m.kf_loop_edges[kf].add(loop_kf)
+        m.kf_loop_edges[loop_kf].add(kf)
+
+        # (7) global BA — beyond the ORB-SLAM1-era reference (it is
+        # ORB-SLAM2's RunGlobalBundleAdjustment, the step that makes a
+        # loop closure repair the MAP and not just the pose graph). The
+        # essential graph can only move what its pose-edge topology
+        # reaches: when the covisible group is small and hangs off the
+        # trajectory by a thin cut, least squares legitimately parks
+        # the loop residual on that cut. After SearchAndFuse, however,
+        # keyframes near the loop observe a MIX of corrected
+        # (loop-region) and uncorrected landmarks — reprojection
+        # constraints the pose graph cannot see — and a full BA uses
+        # them to pull the whole neighborhood into the loop-consistent
+        # frame.
+        if self.global_ba_iters > 0:
+            self._global_ba(loop_kf)
+
+    def _global_ba(self, fixed_kf: int):
+        from . import optimizer as opt
+        from .local_mapping import assemble_ba_problem
+        m = self.map
+        kfs = [int(k) for k in m.keyframe_ids().tolist()]
+        fixed = np.asarray([k == fixed_kf for k in kfs])
+        out = assemble_ba_problem(m, kfs, fixed, self.scale_factor)
+        if out is None:
+            return
+        problem, mt0, X0, pts, _ = out
+        mt_new, X_new, _ = opt.bundle_adjustment(
+            self.rig, jnp.asarray(mt0), jnp.asarray(X0), problem,
+            iters=self.global_ba_iters)
+        mt_new = np.asarray(mt_new)
+        X_new = np.asarray(X_new)
+        for i, k in enumerate(kfs):
+            m.kf_pose[k] = mt_new[i]
+        m.pt_pos[pts] = X_new[:len(pts)].astype(np.float32)
 
 
 def _apply_sim3_np(S: Sim3, X: np.ndarray) -> np.ndarray:

@@ -170,8 +170,15 @@ class MultiColSLAM:
             desc = np.asarray(f.desc).reshape(-1, f.desc.shape[-1])
             valid = np.asarray(f.valid).reshape(-1)
             voc = vocab_mod.train_vocabulary(desc[valid], k=8, levels=3)
+        # the multi-camera rig is metric, so Sim3 scale is observable:
+        # hold it in OptimizeSim3 AND the essential graph (the
+        # reference's vertex type defines exactly this gate but never
+        # enables it, g2o_MultiCol_sim3_expmap.h:63-66; free scale lets
+        # a loop discrepancy be absorbed as a scale ramp around the
+        # cycle instead of the rotation/translation distribution)
         self.loop_closer = LoopCloser(self.rig, self.map, voc,
                                       KeyFrameDatabase(), self._loop_params,
+                                      fix_scale=True,
                                       fuser=self.mapper)
         self.loop_closer.on_loop = self._after_loop
         # cMultiKeyFrame::SetBadFlag -> KeyFrameDatabase::erase
