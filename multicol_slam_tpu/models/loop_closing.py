@@ -61,7 +61,15 @@ class LoopCloser:
     # defines this gate but never enables it)
     fix_scale: bool = True
     fuser: object = None          # LocalMapper for post-correction fusing
-    global_ba_iters: int = 8      # post-loop global BA (0 disables)
+    # post-loop GLOBAL bundle adjustment (ORB-SLAM2's
+    # RunGlobalBundleAdjustment; this ORB-SLAM1-era reference has none).
+    # OFF by default: a global BA only helps once the essential graph
+    # has distributed the loop error (it polishes a good init); launched
+    # from an undistributed init it re-tensions the drifted interior
+    # against the corrected group and can bend the map instead of
+    # unbending it. Enable for maps whose pose-graph topology carries
+    # the distribution (long chains, no cross-loop short-circuits).
+    global_ba_iters: int = 0
     scale_factor: float = 1.2
 
     def __post_init__(self):

@@ -233,7 +233,7 @@ def optimize_essential_graph(S0_log: jax.Array, graph: EssentialGraph,
         if fix_scale:
             # freeze the sigma dof of every vertex (log layout
             # [omega, upsilon, sigma]: component 6)
-            fixed7 = fixed7 | (jnp.arange(7 * N) % 7 == 6)
+            fixed7 = fixed7 | (jnp.arange(fixed7.shape[0]) % 7 == 6)
         lam = 1e-6
         Hmat = Hmat + lam * jnp.eye(7 * N, dtype=Hmat.dtype)
         Hmat = jnp.where(fixed7[:, None] | fixed7[None, :],
