@@ -190,6 +190,44 @@ class TestLoopCorrection:
              f"after {ea[kf_new]:.4f}")
 
 
+class TestPostLoopGlobalBA:
+    def test_global_ba_repairs_perturbed_points(self, base_system):
+        """The opt-in post-loop global BA (_global_ba) must pull
+        noise-perturbed landmarks back toward their optimized positions
+        using the map's real observations (anchor KF fixed)."""
+        slam = base_system
+        m = slam.map
+        closer = make_loop_closer(slam)
+        closer.global_ba_iters = 6
+
+        kfs = m.keyframe_ids().tolist()
+        pose_snap = {k: m.kf_pose[k].copy() for k in kfs}
+        pt_ids = np.nonzero(m.pt_valid)[0]
+        pos_snap = m.pt_pos[pt_ids].copy()
+        try:
+            rng = np.random.default_rng(7)
+            noise = rng.standard_normal(pos_snap.shape).astype(np.float32)
+            noise *= 0.03 / np.maximum(
+                np.linalg.norm(noise, axis=1, keepdims=True), 1e-9)
+            m.pt_pos[pt_ids] = pos_snap + noise
+            err_before = np.linalg.norm(
+                m.pt_pos[pt_ids] - pos_snap, axis=1).mean()
+
+            closer._global_ba(kfs[0])
+
+            err_after = np.linalg.norm(
+                m.pt_pos[pt_ids] - pos_snap, axis=1).mean()
+            assert err_after < 0.5 * err_before, \
+                f"points not repaired: {err_before:.4f} -> {err_after:.4f}"
+            # the anchor keyframe stayed fixed
+            np.testing.assert_allclose(m.kf_pose[kfs[0]],
+                                       pose_snap[kfs[0]])
+        finally:
+            for k in kfs:
+                m.kf_pose[k] = pose_snap[k]
+            m.pt_pos[pt_ids] = pos_snap
+
+
 class TestEssentialGraphDistribution:
     """Drift spread over MANY keyframes: the direct group correction
     only reaches the loop KF's covisible group, so recovering the middle
