@@ -155,10 +155,14 @@ class TestLoopCorrection:
         err_after = {k: kf_err(k) for k in kfs[1:]}
         pt_err_after = np.linalg.norm(
             m.pt_pos[pts_all] - pt_before, axis=1).mean()
-        # undo the test's bookkeeping side effect so each test (and
-        # TestDetection below) sees an un-looped map
+        # restore the module-scoped fixture's map completely: the graph
+        # only partially recovers the injected drift, and leaking that
+        # residual would skew every later test sharing base_system
         m.kf_loop_edges[kf_new].discard(kf_old)
         m.kf_loop_edges[kf_old].discard(kf_new)
+        for k in kfs:
+            m.kf_pose[k] = pose_before[k]
+        m.pt_pos[pts_all] = pt_before
         return kfs, kf_new, err_before, err_after, pt_err_before, pt_err_after
 
     def test_direct_correction_restores_drifted_map_exactly(
