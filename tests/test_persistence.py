@@ -100,10 +100,16 @@ def test_live_viewer_loop(tmp_path, run_state):
     viewer = slam.attach_viewer(str(tmp_path), period_s=0.05)
     try:
         slam.track(render(jnp.asarray(gt[23], jnp.float32)), 99.0)
-        deadline = time.time() + 30
-        while viewer.n_refreshes < 2 and time.time() < deadline:
+        # wait for BOTH publishers: refreshes that happen before track()
+        # sets last_frame legitimately draw only the map, so counting
+        # refreshes alone races with the tracker under CPU contention
+        frame_png = str(tmp_path / "live_frame.png")
+        deadline = time.time() + 60
+        while (viewer.n_refreshes < 2 or not os.path.exists(frame_png)) \
+                and time.time() < deadline:
             time.sleep(0.1)
         assert viewer.n_refreshes >= 2, "viewer loop never refreshed"
+        assert os.path.exists(frame_png), "frame publisher never ran"
     finally:
         viewer.stop()
     assert not viewer._thread.is_alive()
