@@ -419,6 +419,11 @@ def main():
             print(f"# bench: {label} failed: {e!r}", file=sys.stderr)
             return {}
 
+    # host 1-min load BEFORE the run: the hot loop's async dispatch is
+    # throttled by host python speed, so on this 1-core box a
+    # concurrent CPU job (e.g. a pytest run) cuts the headline ~3x.
+    # Recording the load makes a contention-skewed number identifiable.
+    extra["host_load1"] = round(os.getloadavg()[0], 2)
     fps = bench_hot_loop()
     extra.update(stage(bench_dispatch_rtt, 30, "dispatch_rtt"))
     extra.update(stage(bench_full_system, 600, "full_system"))
