@@ -147,10 +147,17 @@ def bench_full_system(n_frames=60):
             ep = np.stack([M[:3, 3] for M in est])
             gp = np.stack([gt[i][:3, 3] for i in used])
             ate = float(ate_rmse(ep, gp))
+        med = float(np.median(times))
         return dict(
             system_fps=round(done / total, 2),
+            # steady-state rate (1/median frame time): robust to the
+            # occasional cold jit bucket the timed pass can still hit
+            # when its map evolution crosses a bucket boundary the warm
+            # pass didn't (a multi-minute remote compile in ONE frame
+            # otherwise dominates the wall-clock fps)
+            system_fps_steady=round(1.0 / med, 2) if med > 0 else -1,
             system_frames=done,
-            median_track_ms=round(float(np.median(times)) * 1e3, 2),
+            median_track_ms=round(med * 1e3, 2),
             p90_track_ms=round(float(np.percentile(times, 90)) * 1e3, 2),
             n_keyframes=slam.map.n_keyframes(),
             n_points=slam.map.n_points(),
