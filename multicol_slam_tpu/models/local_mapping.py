@@ -22,9 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.geometry import (cayley2hom, essential_from_poses, inv_se3,
-                            triangulate_midpoint)
-from ..ops.rig import Rig, mt_mc
+from ..ops import se3_np
+from ..ops.rig import Rig
 from . import matcher
 from . import optimizer as opt
 from .map import MapStore
@@ -168,7 +167,7 @@ class LocalMapper:
     # ------------------------------------------------------------------
 
     def _kf_cam_center(self, kf: int, cam: int) -> np.ndarray:
-        M_t = np.asarray(cayley2hom(jnp.asarray(self.map.kf_pose[kf])))
+        M_t = se3_np.cayley2hom(self.map.kf_pose[kf])
         return (M_t @ np.asarray(self.rig.M_c[cam], np.float64))[:3, 3]
 
     def _update_point_stats_for_kf(self, kf: int):
@@ -212,7 +211,7 @@ class LocalMapper:
             return
         f1 = m.kf_features[kf]
         mt1 = m.kf_pose[kf]
-        M1 = np.asarray(cayley2hom(jnp.asarray(mt1)))
+        M1 = se3_np.cayley2hom(mt1)
         depth1 = self._median_depth_of_kf(kf)
         C = m.kf_pt.shape[1]
 
@@ -221,7 +220,7 @@ class LocalMapper:
             if f2 is None:
                 continue
             mt2 = m.kf_pose[nkf]
-            M2 = np.asarray(cayley2hom(jnp.asarray(mt2)))
+            M2 = se3_np.cayley2hom(mt2)
             baseline = np.linalg.norm(M1[:3, 3] - M2[:3, 3])
             if depth1 > 0 and baseline / depth1 < MIN_BASELINE_DEPTH_RATIO:
                 continue  # :244-254
@@ -234,8 +233,7 @@ class LocalMapper:
                 T2 = np.linalg.inv(M2 @ np.asarray(self.rig.M_c[c], np.float64))
                 T1s.append(T1)
                 T2s.append(T2)
-                Es.append(np.asarray(essential_from_poses(
-                    jnp.asarray(T1), jnp.asarray(T2))))
+                Es.append(se3_np.essential_from_poses(T1, T2))
             free1 = jnp.asarray(m.kf_pt[kf] < 0)
             free2 = jnp.asarray(m.kf_pt[nkf] < 0)
             match = matcher.search_for_triangulation(
@@ -254,9 +252,7 @@ class LocalMapper:
                 T1, T2 = T1s[c], T2s[c]
                 Trel = T1 @ np.linalg.inv(T2)      # cam2 -> cam1
                 R12, t12 = Trel[:3, :3], Trel[:3, 3]
-                X1 = np.asarray(triangulate_midpoint(
-                    jnp.asarray(t12), jnp.asarray(R12),
-                    jnp.asarray(r1), jnp.asarray(r2)))
+                X1 = se3_np.triangulate_midpoint(t12, R12, r1, r2)
                 # gates (z>0 both, parallax, reprojection, distance)
                 z1 = (X1 * r1).sum(1)
                 X2 = (X1 - t12) @ R12
@@ -266,10 +262,9 @@ class LocalMapper:
                 n2 = n2v / np.maximum(np.linalg.norm(n2v, axis=1, keepdims=True), 1e-12)
                 cosp = (n1 * n2).sum(1)
                 cos_th = np.cos(np.deg2rad(TRIANG_PARALLAX_DEG))
-                from ..ops.camera import world_to_img
-                cam_c = jax.tree.map(lambda x: x[c], self.rig.cams)
-                uv1 = np.asarray(world_to_img(cam_c, jnp.asarray(X1)))
-                uv2 = np.asarray(world_to_img(cam_c, jnp.asarray(X2)))
+                cam_c = jax.tree.map(lambda x: np.asarray(x[c]), self.rig.cams)
+                uv1 = se3_np.world_to_img(cam_c, X1)
+                uv2 = se3_np.world_to_img(cam_c, X2)
                 e1 = np.linalg.norm(uv1 - np.asarray(f1.xy[c])[sel], axis=1)
                 e2 = np.linalg.norm(uv2 - np.asarray(f2.xy[c])[j], axis=1)
                 dist = np.linalg.norm(X1, axis=1)
@@ -302,7 +297,7 @@ class LocalMapper:
         f = m.kf_features[kf]
         if f is None:
             return
-        M1 = np.asarray(cayley2hom(jnp.asarray(m.kf_pose[kf])))
+        M1 = se3_np.cayley2hom(m.kf_pose[kf])
         C = m.kf_pt.shape[1]
         Mc = np.asarray(self.rig.M_c, np.float64)
 
@@ -316,9 +311,8 @@ class LocalMapper:
                 R12, t12 = Trel[:3, :3], Trel[:3, 3]
                 if np.linalg.norm(t12) < 1e-6:
                     continue
-                E = np.asarray(essential_from_poses(
-                    jnp.asarray(np.linalg.inv(Mc[c1])),
-                    jnp.asarray(np.linalg.inv(Mc[c2]))))
+                E = se3_np.essential_from_poses(
+                    np.linalg.inv(Mc[c1]), np.linalg.inv(Mc[c2]))
                 free1 = jnp.asarray(m.kf_pt[kf, c1:c1 + 1] < 0)
                 free2 = jnp.asarray(m.kf_pt[kf, c2:c2 + 1] < 0)
                 match = np.asarray(matcher.search_for_triangulation(
@@ -330,17 +324,14 @@ class LocalMapper:
                 j = match[sel]
                 r1 = np.asarray(f.ray[c1])[sel]
                 r2 = np.asarray(f.ray[c2])[j]
-                X1 = np.asarray(triangulate_midpoint(
-                    jnp.asarray(t12), jnp.asarray(R12),
-                    jnp.asarray(r1), jnp.asarray(r2)))
+                X1 = se3_np.triangulate_midpoint(t12, R12, r1, r2)
                 z1 = (X1 * r1).sum(1)
                 X2 = (X1 - t12) @ R12
                 z2 = (X2 * r2).sum(1)
-                from ..ops.camera import world_to_img
-                cam_1 = jax.tree.map(lambda x: x[c1], self.rig.cams)
-                cam_2 = jax.tree.map(lambda x: x[c2], self.rig.cams)
-                uv1 = np.asarray(world_to_img(cam_1, jnp.asarray(X1)))
-                uv2 = np.asarray(world_to_img(cam_2, jnp.asarray(X2)))
+                cam_1 = jax.tree.map(lambda x: np.asarray(x[c1]), self.rig.cams)
+                cam_2 = jax.tree.map(lambda x: np.asarray(x[c2]), self.rig.cams)
+                uv1 = se3_np.world_to_img(cam_1, X1)
+                uv2 = se3_np.world_to_img(cam_2, X2)
                 e1 = np.linalg.norm(uv1 - np.asarray(f.xy[c1])[sel], axis=1)
                 e2 = np.linalg.norm(uv2 - np.asarray(f.xy[c2])[j], axis=1)
                 # parallax over the rig baseline
@@ -376,7 +367,7 @@ class LocalMapper:
         pts = np.unique(pts[pts >= 0])
         if len(pts) == 0:
             return 0.0
-        M = np.asarray(cayley2hom(jnp.asarray(m.kf_pose[kf])))
+        M = se3_np.cayley2hom(m.kf_pose[kf])
         X = m.pt_pos[pts]
         return float(np.median(np.linalg.norm(X - M[:3, 3], axis=1)))
 

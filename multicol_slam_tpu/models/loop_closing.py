@@ -28,8 +28,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import se3_np
 from ..ops.camera import world_to_img
-from ..ops.geometry import cayley2hom, hom2cayley, inv_se3
+from ..ops.geometry import inv_se3
 from ..ops.rig import Rig
 from ..ops.sim3 import Sim3, horn_alignment, sim3_exp, sim3_log, sim3_from_se3
 from . import matcher
@@ -252,7 +253,7 @@ class LoopCloser:
         return out
 
     def _body_frame_points(self, kf: int, pt_ids) -> np.ndarray:
-        M = np.asarray(cayley2hom(jnp.asarray(self.map.kf_pose[kf])))
+        M = se3_np.cayley2hom(self.map.kf_pose[kf])
         Minv = np.linalg.inv(M)
         X = self.map.pt_pos[np.asarray(pt_ids, np.int32)]
         return X @ Minv[:3, :3].T + Minv[:3, 3]
@@ -341,7 +342,7 @@ class LoopCloser:
         # cand-body coords -> kf-body via S12 -> world via kf pose
         Xc_body = self._body_frame_points(cand, cand_pts)
         Xk_body = np.asarray(S12.apply(jnp.asarray(Xc_body)))
-        M_kf = np.asarray(cayley2hom(jnp.asarray(m.kf_pose[kf])))
+        M_kf = se3_np.cayley2hom(m.kf_pose[kf])
         Xw = Xk_body @ M_kf[:3, :3].T + M_kf[:3, 3]
 
         from .tracking import bucket, frustum_check
@@ -390,7 +391,7 @@ class LoopCloser:
         pts = np.asarray(sorted(pts), np.int32)
         Xc_body = self._body_frame_points(cand, pts)
         Xk_body = np.asarray(S12.apply(jnp.asarray(Xc_body)))
-        M_kf = np.asarray(cayley2hom(jnp.asarray(m.kf_pose[kf])))
+        M_kf = se3_np.cayley2hom(m.kf_pose[kf])
         Xw = Xk_body @ M_kf[:3, :3].T + M_kf[:3, 3]
         from .tracking import bucket, frustum_check
         cap = bucket(len(pts), 256)
@@ -472,7 +473,7 @@ class LoopCloser:
         N = len(kf_ids)
 
         def siw_log(pose6) -> np.ndarray:
-            M = np.asarray(cayley2hom(jnp.asarray(pose6)))
+            M = se3_np.cayley2hom(pose6)
             return np.asarray(sim3_log(sim3_from_se3(
                 jnp.asarray(np.linalg.inv(M)))))
 
@@ -519,8 +520,8 @@ class LoopCloser:
                     S_new.inverse(), Xb).astype(np.float32)
                 for p in pts:
                     corrected_by[int(p)] = i
-            m.kf_pose[gkf] = np.asarray(hom2cayley(jnp.asarray(
-                np.linalg.inv(np.asarray(S_new.to_se3())))))
+            m.kf_pose[gkf] = se3_np.hom2cayley(
+                np.linalg.inv(np.asarray(S_new.to_se3())))
 
         # (3) SearchAndFuse BEFORE the pose graph so the new covisibility
         # links (LoopConnections) feed it, mirroring the reference order
@@ -645,8 +646,8 @@ class LoopCloser:
         # (6) write back poses + remap points via S_opt^-1 o S_init
         for k, i in idx_of.items():
             S_new = sim3_exp(jnp.asarray(logs_opt[i]))
-            m.kf_pose[k] = np.asarray(hom2cayley(jnp.asarray(
-                np.linalg.inv(np.asarray(S_new.to_se3())))))
+            m.kf_pose[k] = se3_np.hom2cayley(
+                np.linalg.inv(np.asarray(S_new.to_se3())))
         by_ref: dict[int, list[int]] = {}
         for p in m.point_ids():
             p = int(p)

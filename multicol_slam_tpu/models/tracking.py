@@ -26,7 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.camera import world_to_img
-from ..ops.geometry import cayley2hom, hom2cayley, inv_se3
+from ..ops import se3_np
+from ..ops.geometry import cayley2hom, inv_se3
 from ..ops.rig import Rig, mt_mc
 from . import initializer, matcher
 from . import optimizer as opt
@@ -234,8 +235,8 @@ class Tracker:
                 if self._need_new_keyframe():
                     self._create_new_keyframe()
                 # motion model V = M_last^-1 * M_cur  (cTracking.cpp:327-338)
-                M_last = np.asarray(cayley2hom(jnp.asarray(self.last_mt)))
-                M_cur = np.asarray(cayley2hom(jnp.asarray(self.cur_mt)))
+                M_last = se3_np.cayley2hom(self.last_mt)
+                M_cur = se3_np.cayley2hom(self.cur_mt)
                 self.velocity = np.linalg.inv(M_last) @ M_cur
             else:
                 self.state = TrackState.LOST
@@ -251,7 +252,7 @@ class Tracker:
         self.last_outlier = self.cur_outlier
         self.last_mt = self.cur_mt.copy()
         if self.state == TrackState.WORKING:
-            M = np.asarray(cayley2hom(jnp.asarray(self.cur_mt)))
+            M = se3_np.cayley2hom(self.cur_mt)
             self.all_poses.append(M)
             self.timestamps.append(timestamp)
             return M
@@ -319,7 +320,7 @@ class Tracker:
             self.cur_mt = m.kf_pose[kf1].copy()
 
     def _kf_cam_center(self, kf: int, cam: int) -> np.ndarray:
-        M_t = np.asarray(cayley2hom(jnp.asarray(self.map.kf_pose[kf])))
+        M_t = se3_np.cayley2hom(self.map.kf_pose[kf])
         return (M_t @ np.asarray(self.rig.M_c[cam], np.float64))[:3, 3]
 
     # ------------------------------------------------------------------
@@ -342,9 +343,9 @@ class Tracker:
 
     def _track_with_motion_model(self) -> bool:
         """cTracking::TrackWithMotionModel (:790-832)."""
-        M_last = np.asarray(cayley2hom(jnp.asarray(self.last_mt)))
+        M_last = se3_np.cayley2hom(self.last_mt)
         M_pred = M_last @ self.velocity
-        mt_pred = np.asarray(hom2cayley(jnp.asarray(M_pred)))
+        mt_pred = se3_np.hom2cayley(M_pred)
 
         pts, has = self._gather_last_slot_points()
         if has.sum() < 20:
@@ -538,8 +539,8 @@ class Tracker:
         stale = frames_since >= self.cfg.max_frames
         # MultiCol baseline condition (:921): distance to last KF relative
         # to median scene depth > 0.2
-        M_cur = np.asarray(cayley2hom(jnp.asarray(self.cur_mt)))
-        M_kf = np.asarray(cayley2hom(jnp.asarray(m.kf_pose[self.last_kf_id])))
+        M_cur = se3_np.cayley2hom(self.cur_mt)
+        M_kf = se3_np.cayley2hom(m.kf_pose[self.last_kf_id])
         baseline = np.linalg.norm(M_cur[:3, 3] - M_kf[:3, 3])
         depth = self._median_scene_depth()
         moved = depth > 0 and (baseline / depth) > self.cfg.baseline_depth_ratio
@@ -549,7 +550,7 @@ class Tracker:
         pts = self.cur_pt[(self.cur_pt >= 0) & ~self.cur_outlier]
         if len(pts) == 0:
             return 0.0
-        M_cur = np.asarray(cayley2hom(jnp.asarray(self.cur_mt)))
+        M_cur = se3_np.cayley2hom(self.cur_mt)
         X = self.map.pt_pos[pts]
         d = np.linalg.norm(X - M_cur[:3, 3], axis=1)
         return float(np.median(d))
@@ -655,7 +656,7 @@ class Tracker:
                 sample_size=3)
             if int(n_in) >= max(6, int(0.4 * len(pids))):
                 M_body = np.linalg.inv(np.asarray(T))   # body -> world
-                mt_init = np.asarray(hom2cayley(jnp.asarray(M_body)))
+                mt_init = se3_np.hom2cayley(M_body)
 
         ok = self._optimize_current_pose(mt_init, 10)
         if ok:

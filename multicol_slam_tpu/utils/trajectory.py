@@ -5,9 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 
-import jax.numpy as jnp
-
-from ..ops.geometry import rot2quat
+from ..ops.se3_np import rot2quat
 
 
 def save_tum(path: str, timestamps, poses) -> None:
@@ -15,7 +13,7 @@ def save_tum(path: str, timestamps, poses) -> None:
     with open(path, "w") as f:
         for t, M in zip(timestamps, poses):
             M = np.asarray(M)
-            q = np.asarray(rot2quat(jnp.asarray(M[:3, :3])))
+            q = rot2quat(M[:3, :3])
             tx, ty, tz = M[:3, 3]
             f.write(f"{t:.6f} {tx:.6f} {ty:.6f} {tz:.6f} "
                     f"{q[0]:.6f} {q[1]:.6f} {q[2]:.6f} {q[3]:.6f}\n")

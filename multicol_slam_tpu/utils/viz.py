@@ -29,9 +29,8 @@ def draw_map(map_store, rig, current_pose: Optional[np.ndarray] = None,
     """Top-down (x-z) map render: points, keyframe rig frusta,
     covisibility graph, trajectory, current pose."""
     plt = _require_plt()
-    import jax.numpy as jnp
 
-    from ..ops.geometry import cayley2hom
+    from ..ops import se3_np
 
     fig, ax = plt.subplots(figsize=(9, 9))
     pts = map_store.pt_pos[map_store.pt_valid]
@@ -42,7 +41,7 @@ def draw_map(map_store, rig, current_pose: Optional[np.ndarray] = None,
     kf_ids = map_store.keyframe_ids()
     centers = {}
     for kf in kf_ids:
-        M = np.asarray(cayley2hom(jnp.asarray(map_store.kf_pose[kf])))
+        M = se3_np.cayley2hom(map_store.kf_pose[kf])
         centers[int(kf)] = M[:3, 3]
         # rig frusta: a short axis line per camera
         for c in range(rig.n_cams):

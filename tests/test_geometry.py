@@ -202,3 +202,86 @@ class TestQuat:
                 [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
             ])
             np.testing.assert_allclose(R2, R, atol=1e-9)
+
+
+class TestNumpyTwins:
+    """Pin the host-side numpy twins (ops/se3_np.py) to the JAX
+    implementations: host orchestration (tracking/mapping/loop closing)
+    computes the SAME math without device dispatches, so the two modules
+    must agree to float64 precision."""
+
+    def _rand_se3(self, rng):
+        R = random_rotation(rng)
+        M = np.eye(4)
+        M[:3, :3] = R
+        M[:3, 3] = rng.standard_normal(3)
+        return M
+
+    def test_cayley_roundtrip_twins(self):
+        from multicol_slam_tpu.ops import se3_np
+        rng = np.random.default_rng(3)
+        c6 = rng.standard_normal((17, 6)) * 0.4
+        np.testing.assert_allclose(
+            se3_np.cayley2hom(c6),
+            np.asarray(geo.cayley2hom(jnp.asarray(c6))), atol=1e-12)
+        M = se3_np.cayley2hom(c6)
+        np.testing.assert_allclose(
+            se3_np.hom2cayley(M),
+            np.asarray(geo.hom2cayley(jnp.asarray(M))), atol=1e-9)
+
+    def test_inv_se3_twin(self):
+        from multicol_slam_tpu.ops import se3_np
+        rng = np.random.default_rng(4)
+        M = np.stack([self._rand_se3(rng) for _ in range(5)])
+        np.testing.assert_allclose(
+            se3_np.inv_se3(M), np.asarray(geo.inv_se3(jnp.asarray(M))),
+            atol=1e-12)
+        np.testing.assert_allclose(
+            se3_np.inv_se3(M) @ M, np.broadcast_to(np.eye(4), M.shape),
+            atol=1e-12)
+
+    def test_two_view_twins(self):
+        from multicol_slam_tpu.ops import se3_np
+        rng = np.random.default_rng(5)
+        T1, T2 = self._rand_se3(rng), self._rand_se3(rng)
+        np.testing.assert_allclose(
+            se3_np.essential_from_poses(T1, T2),
+            np.asarray(geo.essential_from_poses(
+                jnp.asarray(T1), jnp.asarray(T2))), atol=1e-12)
+        R12 = random_rotation(rng)
+        t12 = rng.standard_normal(3)
+        v1 = rng.standard_normal((40, 3))
+        v1 /= np.linalg.norm(v1, axis=1, keepdims=True)
+        v2 = rng.standard_normal((40, 3))
+        v2 /= np.linalg.norm(v2, axis=1, keepdims=True)
+        np.testing.assert_allclose(
+            se3_np.triangulate_midpoint(t12, R12, v1, v2),
+            np.asarray(geo.triangulate_midpoint(
+                jnp.asarray(t12), jnp.asarray(np.broadcast_to(R12, (40, 3, 3))),
+                jnp.asarray(v1), jnp.asarray(v2))), atol=1e-9)
+
+    def test_rot2quat_twin(self):
+        from multicol_slam_tpu.ops import se3_np
+        rng = np.random.default_rng(6)
+        for _ in range(10):
+            R = random_rotation(rng)
+            np.testing.assert_allclose(
+                se3_np.rot2quat(R), np.asarray(geo.rot2quat(jnp.asarray(R))),
+                atol=1e-9)
+
+    def test_world_to_img_twin(self):
+        from multicol_slam_tpu.ops import se3_np
+        from multicol_slam_tpu.utils import config_io
+        rig, _ = config_io.load_mcs("/root/reference/Examples/Lafida",
+                                    dtype=np.float64)
+        rng = np.random.default_rng(7)
+        X = rng.standard_normal((30, 3))
+        X[:, 2] = -np.abs(X[:, 2]) - 0.5   # in front of the omni camera
+        import jax
+        from multicol_slam_tpu.ops.camera import world_to_img
+        for c in range(2):
+            cam = jax.tree.map(lambda a: np.asarray(a[c]), rig.cams)
+            cam_j = jax.tree.map(lambda a: jnp.asarray(a[c]), rig.cams)
+            np.testing.assert_allclose(
+                se3_np.world_to_img(cam, X),
+                np.asarray(world_to_img(cam_j, jnp.asarray(X))), atol=1e-3)
