@@ -489,6 +489,15 @@ class LocalMapper:
         for i, (xy, ki, c, pi, s2, okf, slot) in enumerate(obs_list):
             if chi2[i] > th * 4:
                 m.erase_observation(int(pts[pi]), okf, c, slot)
+        # the BA moved poses and points, so the cached viewing-ray /
+        # scale-invariance distances are stale (cMapPoint::
+        # UpdateNormalAndDepth is the reference's per-mutation refresh);
+        # especially right after initialization the adjustment can be a
+        # large gauge/scale correction, and stale min/max distances would
+        # make frustum_check reject most of the map
+        self.map.update_point_stats(np.asarray(pts, np.int64),
+                                    self._kf_cam_center,
+                                    self.scale_factor, self.n_levels)
 
     # ------------------------------------------------------------------
 

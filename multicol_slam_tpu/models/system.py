@@ -114,16 +114,29 @@ class MultiColSLAM:
         self._kf_queue: "queue.Queue[int]" = queue.Queue()
         self._mapper_thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
+        self._interrupt_ba = False
         if async_mapping:
             self._mapper_thread = threading.Thread(
                 target=self._mapper_loop, daemon=True)
             self._mapper_thread.start()
-            self.tracker.on_new_keyframe = self._kf_queue.put
-            # InterruptBA: a queued keyframe makes the running mapping
-            # pass yield its BA/fuse stages (cLocalMapping.cpp:512-515)
-            self.mapper.interrupt_check = lambda: not self._kf_queue.empty()
+            self.tracker.on_new_keyframe = self._enqueue_kf
+            # AcceptMultiKeyFrames: the tracker only inserts keyframes
+            # while no multikeyframe is queued or being processed
+            # (cTracking.cpp:922-935); otherwise it signals InterruptBA
+            # and the running mapping pass yields its BA/fuse stages
+            # (cLocalMapping.cpp:512-515)
+            self.tracker.mapper_idle_fn = \
+                lambda: self._kf_queue.unfinished_tasks == 0
+            self.tracker.interrupt_ba_fn = self._request_ba_interrupt
+            self.mapper.interrupt_check = (
+                lambda: not self._kf_queue.empty() or self._interrupt_ba)
         else:
             self.tracker.on_new_keyframe = self._process_kf
+        # the two bootstrap keyframes are always mapped inline in the
+        # tracking thread (cTracking::CreateInitialMap does the same,
+        # cTracking.cpp:439-722): their first BA fixes the metric scale,
+        # which must land before the tracker's next frame
+        self.tracker.on_init_keyframes = self._process_init_kfs
         self.tracker.on_reset = self._on_reset
 
     # ------------------------------------------------------------------
@@ -209,6 +222,7 @@ class MultiColSLAM:
             try:
                 while True:
                     self._kf_queue.get_nowait()
+                    self._kf_queue.task_done()
             except queue.Empty:
                 pass
         self.mapper.reset()
@@ -220,6 +234,10 @@ class MultiColSLAM:
         # ForceRelocalisation on the tracker, cLoopClosing.cpp:575)
         self.tracker.force_reloc = True
 
+    def _process_init_kfs(self, kf0: int, kf1: int):
+        self._process_kf(kf0)
+        self._process_kf(kf1)
+
     def _process_kf(self, kf: int):
         self.mapper.process_keyframe(kf)
         if self._enable_loops:
@@ -227,19 +245,29 @@ class MultiColSLAM:
             if self.loop_closer is not None:
                 self.loop_closer.insert_keyframe(kf)
 
+    def _enqueue_kf(self, kf: int):
+        self._kf_queue.put(kf)
+
+    def _request_ba_interrupt(self):
+        self._interrupt_ba = True
+
     def _mapper_loop(self):
         while not self._stop.is_set():
             try:
                 kf = self._kf_queue.get(timeout=0.1)
             except queue.Empty:
                 continue
-            if kf is None:    # shutdown sentinel
-                break
             try:
-                self._process_kf(kf)
-            except Exception:
-                import traceback
-                traceback.print_exc()
+                if kf is None:    # shutdown sentinel
+                    break
+                try:
+                    self._process_kf(kf)
+                except Exception:
+                    import traceback
+                    traceback.print_exc()
+            finally:
+                self._interrupt_ba = False
+                self._kf_queue.task_done()
 
     # ------------------------------------------------------------------
 
@@ -343,4 +371,10 @@ class MultiColSLAM:
             if not fixed_mask[i]:
                 m.kf_pose[k] = mt[i]
         m.pt_pos[pts] = np.asarray(X, np.float32)[:len(pts)]
+        # refresh cached viewing-ray / scale-invariance stats staled by
+        # the adjustment (cMapPoint::UpdateNormalAndDepth role)
+        m.update_point_stats(np.asarray(pts, np.int64),
+                             self.tracker._kf_cam_center,
+                             self.settings.scale_factor,
+                             self.settings.n_levels)
         return cost

@@ -167,6 +167,15 @@ class Tracker:
 
         # callbacks wired by the System
         self.on_new_keyframe = None        # fn(kf_id)
+        self.on_init_keyframes = None      # fn(kf0, kf1): sync bootstrap
+        # async mapping backpressure (cTracking.cpp:922-935): keyframes
+        # are only inserted while local mapping can accept them
+        # (cLocalMapping::AcceptMultiKeyFrames); when it can't, the
+        # tracker signals InterruptBA and retries next frame, so at most
+        # one multikeyframe is ever in flight and the local map never
+        # lags the tracker by more than one mapping pass.
+        self.mapper_idle_fn = None         # fn() -> bool
+        self.interrupt_ba_fn = None        # fn(): LocalMapping::InterruptBA
         self.on_reset = None               # fn(): reset fan-out
         self.reloc_candidates_fn = None    # fn(Features) -> list[int] (BoW)
         self.reloc_bow_match_fn = None     # fn(kf, Features) -> [(pt, c, s)]
@@ -311,10 +320,22 @@ class Tracker:
         self.last_kf_id = kf1
         self.state = TrackState.WORKING
         self.velocity = None
-        if self.on_new_keyframe:
+        # The reference performs ALL of CreateInitialMap — cross-camera
+        # matching and the scale-fixing global BAs included — inline in
+        # the tracking thread BEFORE handing the keyframes to the local
+        # mapper (cTracking.cpp:439-722). Mirror that: even in async
+        # mode the two bootstrap keyframes are mapped synchronously via
+        # on_init_keyframes, because their first BA applies the metric
+        # scale correction (the monocular-init map's scale is arbitrary
+        # until cross-camera observations pin it to the rig baseline) —
+        # a gauge jump the tracker must observe before its next frame.
+        if self.on_init_keyframes:
+            self.on_init_keyframes(kf0, kf1)
+        elif self.on_new_keyframe:
             self.on_new_keyframe(kf0)
             self.on_new_keyframe(kf1)
-            # local BA refines kf1's pose; keep the tracker consistent
+        if self.on_init_keyframes or self.on_new_keyframe:
+            # mapping refined kf1's pose; keep the tracker consistent
             # with the refined map (reference: GlobalBundleAdjustment
             # inside CreateInitialMap updates the current frame pose)
             self.cur_mt = m.kf_pose[kf1].copy()
@@ -544,7 +565,16 @@ class Tracker:
         baseline = np.linalg.norm(M_cur[:3, 3] - M_kf[:3, 3])
         depth = self._median_scene_depth()
         moved = depth > 0 and (baseline / depth) > self.cfg.baseline_depth_ratio
-        return (weak and n_tracked > self.cfg.kf_min_points) or stale or moved
+        need = (weak and n_tracked > self.cfg.kf_min_points) or stale or moved
+        if not need:
+            return False
+        # mapper busy -> interrupt its BA but do NOT insert yet
+        # (cTracking.cpp:922-935); sync mode has no mapper_idle_fn
+        if self.mapper_idle_fn is not None and not self.mapper_idle_fn():
+            if self.interrupt_ba_fn is not None:
+                self.interrupt_ba_fn()
+            return False
+        return True
 
     def _median_scene_depth(self) -> float:
         pts = self.cur_pt[(self.cur_pt >= 0) & ~self.cur_outlier]
