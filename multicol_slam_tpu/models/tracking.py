@@ -122,6 +122,97 @@ def frustum_check(rig: Rig, mt_min: jax.Array, X: jax.Array,
     return uv, ok, level, view_cos
 
 
+@functools.partial(jax.jit, static_argnames=("params", "th"))
+def motion_track_step(rig: Rig, mt_pred: jax.Array, last_pts: jax.Array,
+                      last_has: jax.Array, cur: Features, last: Features,
+                      cur_has_pt: jax.Array, params, th: float):
+    """TrackWithMotionModel fused into ONE dispatch: project the last
+    frame's landmarks at the predicted pose, projection-gated NN match
+    into the current frame, then pose-only LM over the matches
+    (cTracking.cpp:790-832 + cOptimizer.cpp:259-458). Fusing the three
+    stages removes two host round-trips per frame — through a remote
+    accelerator every synchronous dispatch pays the tunnel RTT.
+
+    Returns (match (C,K_last)->cur slot, mt, inlier (C,K_last) over
+    last slots, n_inliers, n_matches)."""
+    T = inv_se3(mt_mc(cayley2hom(mt_pred.astype(jnp.float32)), rig.M_c))
+    Xc = jnp.einsum("cij,ckj->cki", T[:, :3, :3], last_pts) \
+        + T[:, None, :3, 3]
+    uv_pred = jax.vmap(world_to_img)(rig.cams, Xc)
+    ok = Xc[..., 2] > 0
+    match = matcher.match_frame_to_frame(cur, last, last_has, cur_has_pt,
+                                         uv_pred, ok, params, th=th)
+    C, K = match.shape
+    flat = match.reshape(-1)
+    got = flat >= 0
+    cam_ids = jnp.repeat(jnp.arange(C, dtype=jnp.int32), K)
+    tgt = jnp.clip(flat, 0)
+    uv = cur.xy[cam_ids, tgt]
+    lvl = cur.level[cam_ids, tgt].astype(jnp.float32)
+    obs = opt.BAObservations(
+        uv=uv, kf=jnp.zeros(C * K, jnp.int32), cam=cam_ids,
+        pt=jnp.arange(C * K, dtype=jnp.int32),
+        inv_sigma2=jnp.where(got, params.scale_factor ** (-2.0 * lvl), 1.0),
+        valid=got)
+    mt, inlier, n_in = opt.pose_optimization(
+        rig, mt_pred, obs, last_pts.reshape(-1, 3))
+    return match, mt, inlier.reshape(C, K), n_in, jnp.sum(got)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("params", "th", "n_levels",
+                                    "scale_factor"))
+def local_map_track_step(rig: Rig, mt_cur: jax.Array, X: jax.Array,
+                         normal: jax.Array, mind: jax.Array,
+                         maxd: jax.Array, cand_ok: jax.Array,
+                         pt_desc: jax.Array, pt_mask: jax.Array,
+                         cur: Features, cur_has_pt: jax.Array,
+                         slot_X: jax.Array, slot_has: jax.Array,
+                         params, th: float, n_levels: int,
+                         scale_factor: float):
+    """TrackLocalMap fused into ONE dispatch: isInFrustum over the local
+    map snapshot, SearchByProjection into the frame, then pose-only LM
+    over existing slot associations PLUS the new local-map matches
+    (cTracking.cpp:834-888). cand_ok masks padding and points already in
+    the frame; slot_X/slot_has carry the world positions of the frame's
+    current associations (the motion-model matches).
+
+    Returns (frustum_ok (C,P) for visibility counters, match (C,P)->cur
+    slot, mt, slot inliers (C,K), new-match inliers (C,P), n_inliers)."""
+    uv, ok, lvl, vcos = frustum_check(
+        rig, mt_cur, X, normal, mind, maxd,
+        n_levels=n_levels, scale_factor=scale_factor)
+    ok &= cand_ok[None, :]
+    match = matcher.match_local_map(cur, cur_has_pt, pt_desc, pt_mask,
+                                    uv, ok, lvl, vcos, params, th=th)
+    C, K = cur_has_pt.shape
+    P = X.shape[0]
+    sf = scale_factor
+    # obs group 1: the frame's existing associations, one row per slot
+    cam1 = jnp.repeat(jnp.arange(C, dtype=jnp.int32), K)
+    lvl1 = cur.level.reshape(-1).astype(jnp.float32)
+    valid1 = slot_has.reshape(-1)
+    # obs group 2: the new local-map matches, one row per candidate
+    flat2 = match.reshape(-1)
+    got2 = flat2 >= 0
+    cam2 = jnp.repeat(jnp.arange(C, dtype=jnp.int32), P)
+    tgt2 = jnp.clip(flat2, 0)
+    uv2 = cur.xy[cam2, tgt2]
+    lvl2 = cur.level[cam2, tgt2].astype(jnp.float32)
+    obs = opt.BAObservations(
+        uv=jnp.concatenate([cur.xy.reshape(-1, 2), uv2], 0),
+        kf=jnp.zeros(C * (K + P), jnp.int32),
+        cam=jnp.concatenate([cam1, cam2], 0),
+        pt=jnp.arange(C * (K + P), dtype=jnp.int32),
+        inv_sigma2=sf ** (-2.0 * jnp.concatenate([lvl1, lvl2], 0)),
+        valid=jnp.concatenate([valid1, got2], 0))
+    X_all = jnp.concatenate(
+        [slot_X.reshape(-1, 3), jnp.tile(X, (C, 1))], 0)
+    mt, inlier, n_in = opt.pose_optimization(rig, mt_cur, obs, X_all)
+    return (ok, match, mt, inlier[:C * K].reshape(C, K),
+            inlier[C * K:].reshape(C, P), n_in)
+
+
 class Tracker:
     """Host-side tracking orchestration. One instance per SLAM session."""
 
@@ -363,7 +454,10 @@ class Tracker:
         return pts, alive
 
     def _track_with_motion_model(self) -> bool:
-        """cTracking::TrackWithMotionModel (:790-832)."""
+        """cTracking::TrackWithMotionModel (:790-832), fused: projection
+        + matching + pose LM run as ONE device dispatch
+        (motion_track_step); the host only applies the returned
+        associations and inlier flags to its bookkeeping."""
         M_last = se3_np.cayley2hom(self.last_mt)
         M_pred = M_last @ self.velocity
         mt_pred = se3_np.hom2cayley(M_pred)
@@ -371,24 +465,29 @@ class Tracker:
         pts, has = self._gather_last_slot_points()
         if has.sum() < 20:
             return False
-        uv_pred, ok = project_slots(self.rig, jnp.asarray(mt_pred), jnp.asarray(pts))
-        match = matcher.match_frame_to_frame(
-            self.cur_feats, self.last_feats, jnp.asarray(has),
-            jnp.asarray(self.cur_pt >= 0), uv_pred, ok, self.params,
+        out = motion_track_step(
+            self.rig, jnp.asarray(mt_pred), jnp.asarray(pts),
+            jnp.asarray(has), self.cur_feats, self.last_feats,
+            jnp.asarray(self.cur_pt >= 0), self.params,
             th=self.cfg.motion_th)
-        match = np.asarray(match)
-        n_matches = int((match >= 0).sum())
+        # ONE host transfer for all outputs: through a remote-TPU
+        # tunnel every separate blocking fetch pays the dispatch RTT
+        match, mt, inlier, n_in, n_matches = jax.device_get(out)
+        n_matches = int(n_matches)
         if n_matches < 20:
             return False
 
-        # assign matched map points to current slots
+        # assign matched map points to current slots; mark LM outliers
         C, K = match.shape
         for c in range(C):
             sel = np.nonzero(match[c] >= 0)[0]
             self.cur_pt[c, match[c, sel]] = self.last_pt[c, sel]
-
-        return self._optimize_current_pose(mt_pred,
-                                           self.cfg.min_inliers_track)
+            bad = sel[~inlier[c, sel]]
+            self.cur_outlier[c, match[c, bad]] = True
+        self.cur_mt = np.asarray(mt)
+        n_in = int(n_in)
+        self.inlier_ratios.append(n_in / max(n_matches, 1))
+        return n_in >= self.cfg.min_inliers_track
 
     def _track_previous_frame(self) -> bool:
         """cTracking::TrackPreviousFrame (:724-788): wide window search
@@ -492,7 +591,9 @@ class Tracker:
         return np.asarray(local_kfs, np.int32), pts
 
     def _track_local_map(self) -> bool:
-        """TrackLocalMap (:834-888)."""
+        """TrackLocalMap (:834-888), fused: frustum check + local-map
+        matching + pose LM over (existing slot associations + new
+        matches) run as ONE device dispatch (local_map_track_step)."""
         local_kfs, local_pts = self._local_map_ids()
         if len(local_pts) == 0:
             return False
@@ -507,34 +608,52 @@ class Tracker:
         maxd = pad(m.pt_max_dist[local_pts], 1.0)
         desc = pad(m.pt_desc[local_pts])
         dmask = pad(m.pt_desc_mask[local_pts])
+        # padding + points already in the frame are not candidates
+        cand_ok = np.zeros(cap, bool)
+        cand_ok[:P] = ~np.isin(local_pts, self.cur_pt[self.cur_pt >= 0])
 
-        uv, ok, lvl, vcos = frustum_check(
+        # world positions of the frame's current associations (the
+        # motion-model matches), one row per slot
+        self.cur_pt = m.resolve_points(self.cur_pt)
+        C, K = self.cur_pt.shape
+        slot_has = self.cur_pt >= 0
+        slot_X = np.zeros((C, K, 3), np.float32)
+        ids = self.cur_pt[slot_has]
+        slot_X[slot_has] = m.pt_pos[ids]
+        alive = np.zeros((C, K), bool)
+        alive[slot_has] = m.pt_valid[ids]
+        slot_has = alive
+
+        out = local_map_track_step(
             self.rig, jnp.asarray(self.cur_mt), jnp.asarray(X),
             jnp.asarray(normal), jnp.asarray(mind), jnp.asarray(maxd),
-            n_levels=self.cfg.n_levels, scale_factor=self.cfg.scale_factor)
-        ok = np.array(ok)
-        ok[:, P:] = False
-        # don't re-match points already in the frame
-        in_frame = np.isin(local_pts, self.cur_pt[self.cur_pt >= 0])
-        ok[:, :P] &= ~in_frame[None, :]
+            jnp.asarray(cand_ok), jnp.asarray(desc), jnp.asarray(dmask),
+            self.cur_feats, jnp.asarray(slot_has),
+            jnp.asarray(slot_X), jnp.asarray(slot_has), self.params,
+            th=self.cfg.local_map_th, n_levels=self.cfg.n_levels,
+            scale_factor=self.cfg.scale_factor)
+        # ONE host transfer for all outputs (see motion_track_step note)
+        ok, match, mt, inl_slot, inl_new, n_in = jax.device_get(out)
+
         # visibility counters (isInFrustum -> IncreaseVisible)
         vis = ok[:, :P].any(0)
         m.pt_visible[local_pts[vis]] += 1
-
-        match = matcher.match_local_map(
-            self.cur_feats, jnp.asarray(self.cur_pt >= 0),
-            jnp.asarray(desc), jnp.asarray(dmask), uv, jnp.asarray(ok),
-            lvl, vcos, self.params, th=self.cfg.local_map_th)
-        match = np.asarray(match)      # (C, cap) -> frame slot
-        C = match.shape[0]
+        n_new = 0
         for c in range(C):
             sel = np.nonzero(match[c, :P] >= 0)[0]
             slots = match[c, sel]
             free = self.cur_pt[c, slots] < 0
             self.cur_pt[c, slots[free]] = local_pts[sel[free]]
-
-        okpose = self._optimize_current_pose(self.cur_mt,
-                                             self.cfg.min_inliers_local)
+            n_new += int(free.sum())
+            bad = sel[~inl_new[c, sel]]
+            self.cur_outlier[c, match[c, bad]] = True
+        # LM outliers among the pre-existing associations
+        self.cur_outlier |= slot_has & ~inl_slot
+        self.cur_mt = np.asarray(mt)
+        n_in = int(n_in)
+        n_obs = int(slot_has.sum()) + n_new
+        self.inlier_ratios.append(n_in / max(n_obs, 1))
+        okpose = n_in >= self.cfg.min_inliers_local
         # found counters for culling (TrackLocalMap IncreaseFound)
         tracked = self.cur_pt[(self.cur_pt >= 0) & ~self.cur_outlier]
         m.pt_found[tracked] += 1
