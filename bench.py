@@ -174,8 +174,13 @@ def bench_full_system(n_frames=60):
             gp = np.stack([gt[i][:3, 3] for i in used])
             ate = float(ate_rmse(ep, gp))
         med = float(np.median(times))
+        lm_it = slam.tracker.lm_iters
         return dict(
             system_fps=round(done / total, 2),
+            # pose-LM iterations actually run (gain-ratio early stop,
+            # cOptimizer.cpp:88-92); fixed budget is 20
+            lm_iters_median=(round(float(np.median(lm_it)), 1)
+                             if lm_it else -1),
             # steady-state rate (1/median frame time): robust to the
             # occasional cold jit bucket the timed pass can still hit
             # when its map evolution crosses a bucket boundary the warm
@@ -246,7 +251,7 @@ def bench_hot_loop(rig=None, n_reps=4):
             uv=uv, kf=jnp.zeros(K_OBS, jnp.int32), cam=cam_sel,
             pt=jnp.arange(K_OBS, dtype=jnp.int32),
             inv_sigma2=jnp.ones(K_OBS), valid=got)
-        mt, _, n_in = opt.pose_optimization(rig, mt_min, obs, X)
+        mt, _, n_in, _ = opt.pose_optimization(rig, mt_min, obs, X)
         new_pts = scene_points(geo.cayley2hom(mt), feats)
         return feats, new_pts, mt, n_in
 

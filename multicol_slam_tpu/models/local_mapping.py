@@ -36,6 +36,8 @@ TRIANG_REPROJ_TH = 4.0            # two-view reprojection error (px)
 TRIANG_MAX_DIST = 25.0            # :360 area
 CULL_FOUND_RATIO = 0.25           # MapPointCulling :199
 KF_CULL_REDUNDANT = 0.9           # KeyFrameCulling :585
+KF_CULL_MIN_OBS = 5               # maxNrObs, KeyFrameCulling :522
+KF_CULL_PREGATE_OBS = 3           # Observations() > 3 pre-gate :548
 
 
 def assemble_ba_problem(m: MapStore, kfs: list[int], fixed_mask: np.ndarray,
@@ -63,11 +65,11 @@ def assemble_ba_problem(m: MapStore, kfs: list[int], fixed_mask: np.ndarray,
         for okf, cam, slot in m.pt_obs.get(int(p), []):
             if okf not in kf_index:
                 continue
-            f = m.kf_features[okf]
-            if f is None:
+            host = m.kf_host(okf)
+            if host is None:
                 continue
-            xy = np.asarray(f.xy[cam, slot])
-            lvl = int(f.level[cam, slot])
+            xy = host.xy[cam, slot]
+            lvl = int(host.level[cam, slot])
             obs_list.append((xy, kf_index[okf], cam, pt_index[int(p)],
                              scale_factor ** (-2.0 * lvl), okf, slot))
     if len(obs_list) < min_obs:
@@ -138,6 +140,8 @@ class LocalMapper:
         # BA via mbAbortBA; here the abort granularity is between stages
         # (each stage is one fast jitted call)
         self.interrupt_check = None
+        # host copy of the rig extrinsics for batched point-stat math
+        self._M_c_np = np.asarray(jax.device_get(self.rig.M_c), np.float64)
 
     def _interrupted(self) -> bool:
         return bool(self.interrupt_check is not None and self.interrupt_check())
@@ -166,16 +170,12 @@ class LocalMapper:
 
     # ------------------------------------------------------------------
 
-    def _kf_cam_center(self, kf: int, cam: int) -> np.ndarray:
-        M_t = se3_np.cayley2hom(self.map.kf_pose[kf])
-        return (M_t @ np.asarray(self.rig.M_c[cam], np.float64))[:3, 3]
-
     def _update_point_stats_for_kf(self, kf: int):
         """ProcessNewMultiKeyFrame: refresh normals/depths/descriptors of
         the keyframe's points (cLocalMapping.cpp:145-185)."""
         pts = self.map.kf_pt[kf]
         pts = np.unique(pts[pts >= 0])
-        self.map.update_point_stats(pts, self._kf_cam_center,
+        self.map.update_point_stats(pts, self._M_c_np,
                                     self.scale_factor, self.n_levels)
 
     def _cull_map_points(self, kf: int):
@@ -210,6 +210,7 @@ class LocalMapper:
         if not neighbors:
             return
         f1 = m.kf_features[kf]
+        h1 = m.kf_host(kf)
         mt1 = m.kf_pose[kf]
         M1 = se3_np.cayley2hom(mt1)
         depth1 = self._median_depth_of_kf(kf)
@@ -217,7 +218,8 @@ class LocalMapper:
 
         for nkf in neighbors:
             f2 = m.kf_features[nkf]
-            if f2 is None:
+            h2 = m.kf_host(nkf)
+            if f2 is None or h2 is None:
                 continue
             mt2 = m.kf_pose[nkf]
             M2 = se3_np.cayley2hom(mt2)
@@ -247,8 +249,8 @@ class LocalMapper:
                     continue
                 j = match[c, sel]
                 # triangulate in camera-1 frame: rays + relative pose
-                r1 = np.asarray(f1.ray[c])[sel]
-                r2 = np.asarray(f2.ray[c])[j]
+                r1 = h1.ray[c][sel]
+                r2 = h2.ray[c][j]
                 T1, T2 = T1s[c], T2s[c]
                 Trel = T1 @ np.linalg.inv(T2)      # cam2 -> cam1
                 R12, t12 = Trel[:3, :3], Trel[:3, 3]
@@ -265,8 +267,8 @@ class LocalMapper:
                 cam_c = jax.tree.map(lambda x: np.asarray(x[c]), self.rig.cams)
                 uv1 = se3_np.world_to_img(cam_c, X1)
                 uv2 = se3_np.world_to_img(cam_c, X2)
-                e1 = np.linalg.norm(uv1 - np.asarray(f1.xy[c])[sel], axis=1)
-                e2 = np.linalg.norm(uv2 - np.asarray(f2.xy[c])[j], axis=1)
+                e1 = np.linalg.norm(uv1 - h1.xy[c][sel], axis=1)
+                e2 = np.linalg.norm(uv2 - h2.xy[c][j], axis=1)
                 dist = np.linalg.norm(X1, axis=1)
                 good = ((z1 > 0) & (z2 > 0) & (cosp < cos_th)
                         & (e1 < TRIANG_REPROJ_TH) & (e2 < TRIANG_REPROJ_TH)
@@ -283,7 +285,7 @@ class LocalMapper:
                     m.add_observation(int(p), kf, c, int(sel[good][i]))
                     m.add_observation(int(p), nkf, c, int(j[good][i]))
                     self.recent_pts.append((int(p), kf))
-                m.update_point_stats(ids, self._kf_cam_center,
+                m.update_point_stats(ids, self._M_c_np,
                                      self.scale_factor, self.n_levels)
 
     def _create_cross_camera_points(self, kf: int):
@@ -295,7 +297,8 @@ class LocalMapper:
         observations that anchor absolute scale."""
         m = self.map
         f = m.kf_features[kf]
-        if f is None:
+        h = m.kf_host(kf)
+        if f is None or h is None:
             return
         M1 = se3_np.cayley2hom(m.kf_pose[kf])
         C = m.kf_pt.shape[1]
@@ -322,8 +325,8 @@ class LocalMapper:
                 if len(sel) == 0:
                     continue
                 j = match[sel]
-                r1 = np.asarray(f.ray[c1])[sel]
-                r2 = np.asarray(f.ray[c2])[j]
+                r1 = h.ray[c1][sel]
+                r2 = h.ray[c2][j]
                 X1 = se3_np.triangulate_midpoint(t12, R12, r1, r2)
                 z1 = (X1 * r1).sum(1)
                 X2 = (X1 - t12) @ R12
@@ -332,8 +335,8 @@ class LocalMapper:
                 cam_2 = jax.tree.map(lambda x: np.asarray(x[c2]), self.rig.cams)
                 uv1 = se3_np.world_to_img(cam_1, X1)
                 uv2 = se3_np.world_to_img(cam_2, X2)
-                e1 = np.linalg.norm(uv1 - np.asarray(f.xy[c1])[sel], axis=1)
-                e2 = np.linalg.norm(uv2 - np.asarray(f.xy[c2])[j], axis=1)
+                e1 = np.linalg.norm(uv1 - h.xy[c1][sel], axis=1)
+                e2 = np.linalg.norm(uv2 - h.xy[c2][j], axis=1)
                 # parallax over the rig baseline
                 n1 = X1 / np.maximum(
                     np.linalg.norm(X1, axis=1, keepdims=True), 1e-12)
@@ -357,7 +360,7 @@ class LocalMapper:
                     m.add_observation(int(p), kf, c1, int(sel[good][i]))
                     m.add_observation(int(p), kf, c2, int(j[good][i]))
                     self.recent_pts.append((int(p), kf))
-                m.update_point_stats(ids, self._kf_cam_center,
+                m.update_point_stats(ids, self._M_c_np,
                                      self.scale_factor, self.n_levels)
 
     def _median_depth_of_kf(self, kf: int) -> float:
@@ -496,25 +499,27 @@ class LocalMapper:
         # large gauge/scale correction, and stale min/max distances would
         # make frustum_check reject most of the map
         self.map.update_point_stats(np.asarray(pts, np.int64),
-                                    self._kf_cam_center,
+                                    self._M_c_np,
                                     self.scale_factor, self.n_levels)
 
     # ------------------------------------------------------------------
 
     def _cull_keyframes(self, kf: int):
-        """KeyFrameCulling (:517-593): a covisible KF is redundant if 90%
-        of its landmarks are seen by >= 3 OTHER keyframes at
-        finer-or-equal scale (level <= own level + 1 — the reference's
-        scale condition; without it a KF whose points are only seen
-        coarsely elsewhere would be over-culled)."""
+        """KeyFrameCulling (cLocalMapping.cpp:517-593): a covisible KF is
+        redundant if 90% of its landmark observations are backed by at
+        least maxNrObs=5 OTHER keyframes observing the point at
+        finer-or-equal scale (level <= own level + 1). Only points with
+        Observations() > 3 are considered (:548), and only each other
+        keyframe's FIRST observation of the point counts (:565 'just
+        take the first, even if there are more')."""
         m = self.map
         for cand in m.covisible_keyframes(kf):
             if cand == 0 or not m.kf_valid[cand]:
                 continue
-            f_cand = m.kf_features[cand]
-            if f_cand is None:
+            host_cand = m.kf_host(cand)
+            if host_cand is None:
                 continue
-            lvl_cand = np.asarray(f_cand.level)
+            lvl_cand = host_cand.level
             cams, slots = np.nonzero(m.kf_pt[cand] >= 0)
             if len(cams) == 0:
                 continue
@@ -524,23 +529,28 @@ class LocalMapper:
             for c, s in zip(cams, slots):
                 p = int(m.kf_pt[cand, c, s])
                 total += 1
+                obs = m.pt_obs.get(p, [])
+                if len(obs) <= KF_CULL_PREGATE_OBS:
+                    continue
                 own_lvl = int(lvl_cand[c, s])
                 n_finer = 0
-                for okf, ocam, oslot in m.pt_obs.get(p, []):
-                    if okf == cand:
+                seen_kfs = set()
+                for okf, ocam, oslot in obs:
+                    if okf == cand or okf in seen_kfs:
                         continue
+                    seen_kfs.add(okf)
                     lv = levels_cache.get(okf)
                     if lv is None:
-                        fo = m.kf_features[okf]
-                        if fo is None:
+                        ho = m.kf_host(okf)
+                        if ho is None:
                             continue
-                        lv = np.asarray(fo.level)
+                        lv = ho.level
                         levels_cache[okf] = lv
                     if int(lv[ocam, oslot]) <= own_lvl + 1:
                         n_finer += 1
-                        if n_finer >= 3:
+                        if n_finer >= KF_CULL_MIN_OBS:
                             break
-                if n_finer >= 3:
+                if n_finer >= KF_CULL_MIN_OBS:
                     redundant += 1
             if redundant > KF_CULL_REDUNDANT * total:
                 m.remove_keyframe(cand)

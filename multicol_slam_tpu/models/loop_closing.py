@@ -39,6 +39,11 @@ from .keyframe_database import KeyFrameDatabase
 from .map import MapStore
 from .vocabulary import Vocabulary, bow_score_l1, bow_vector, transform_words
 
+
+def _dbg(msg: str):
+    if os.environ.get("MCSLAM_DEBUG"):
+        print(msg, file=sys.stderr, flush=True)
+
 MIN_KFS_BETWEEN_LOOPS = 10     # cLoopClosing.cpp:125
 CONSISTENCY_TH = 3             # 3 consecutive consistent detections
 MIN_BOW_MATCHES = 15           # :258
@@ -140,10 +145,13 @@ class LoopCloser:
         m = self.map
         if kf < self.last_loop_kf + MIN_KFS_BETWEEN_LOOPS:
             return []
-        connected = set(m.covisible_keyframes(kf))
-        # minScore: lowest BoW similarity to covisible KFs (:132-151)
+        # exclusion set = EVERY keyframe sharing >=1 landmark
+        # (GetConnectedKeyFrames, cMultiKeyFrameDatabase.cpp:85-105)
+        connected = set(m.connected_keyframes(kf))
+        # minScore: lowest BoW similarity to the >=30 covisibility list
+        # (GetVectorCovisibleKeyFrames, cLoopClosing.cpp:132-151)
         min_score = 1.0
-        for ckf in connected:
+        for ckf in m.covisible_keyframes(kf):
             if ckf in self.db.kf_bow:
                 s = bow_score_l1(bow, self.db.kf_bow[ckf])
                 min_score = min(min_score, s)
@@ -152,6 +160,9 @@ class LoopCloser:
         # drop keyframes culled since they entered the database
         cands = [c for c in cands
                  if m.kf_valid[c] and m.kf_features[c] is not None]
+        _dbg(f"[loop] kf={kf} min_score={min_score:.4f} "
+             f"excl={len(connected)} cands={cands} "
+             f"groups={[(len(g), c) for g, c in self.consistent_groups]}")
         if not cands:
             self.consistent_groups = []
             return []
@@ -159,7 +170,8 @@ class LoopCloser:
         new_groups: list[tuple[set[int], int]] = []
         enough: list[int] = []
         for cand in cands:
-            group = set(m.covisible_keyframes(cand, best_n=30)) | {cand}
+            # candidate group = ALL connections (cLoopClosing.cpp:178)
+            group = set(m.connected_keyframes(cand)) | {cand}
             matched = False
             for prev_group, count in self.consistent_groups:
                 if group & prev_group:
@@ -269,6 +281,7 @@ class LoopCloser:
         # no-op correction in the RANSAC, diluting the real loop signal
         # carried by (new landmark, old landmark) pairs
         pairs = [p for p in pairs if p[0] != p[1]]
+        _dbg(f"[loop] sim3 kf={kf} cand={cand}: {len(pairs)} bow pairs")
         if len(pairs) < MIN_BOW_MATCHES:
             return False
         p1 = [p[0] for p in pairs]
@@ -294,6 +307,8 @@ class LoopCloser:
         scores = jax.vmap(lambda s, R, t: score(Sim3(s, R, t)))(
             S_hyp.s, S_hyp.R, S_hyp.t)
         best = int(np.argmax(np.asarray(scores)))
+        _dbg(f"[loop] sim3 kf={kf} cand={cand}: ransac best inliers "
+             f"{int(scores[best])}/{n}")
         if int(scores[best]) < MIN_SIM3_INLIERS // 2:
             return False
         S0 = Sim3(S_hyp.s[best], S_hyp.R[best], S_hyp.t[best])
@@ -322,6 +337,8 @@ class LoopCloser:
         # --- loop-neighborhood support gate (cLoopClosing.cpp:400-424):
         # total matches incl. the candidate's covisible neighborhood ---
         n_total = int(n_in) + self._count_neighborhood_support(kf, cand, S12)
+        _dbg(f"[loop] sim3 kf={kf} cand={cand}: refined inliers "
+             f"{int(n_in)}, total w/ neighborhood {n_total}")
         if n_total < MIN_TOTAL_MATCHES:
             return False
 

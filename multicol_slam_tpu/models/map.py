@@ -19,11 +19,27 @@ from __future__ import annotations
 
 import dataclasses
 from collections import defaultdict
-from typing import Optional
+from typing import NamedTuple, Optional
 
+import jax
 import numpy as np
 
+from ..ops import se3_np
 from .extractor import Features
+
+
+class KFHostView(NamedTuple):
+    """Host (numpy) copy of the per-keyframe feature arrays the map
+    bookkeeping reads. Fetched from the device ONCE per keyframe and
+    cached — the reference keeps these CPU-resident in cMultiKeyFrame;
+    here the device owns them and per-observation slicing would pay a
+    host<->device round trip each."""
+
+    xy: np.ndarray         # (C, K, 2)
+    level: np.ndarray      # (C, K)
+    desc: np.ndarray       # (C, K, W) uint32
+    desc_mask: np.ndarray  # (C, K, W) uint32
+    ray: np.ndarray        # (C, K, 3)
 
 
 @dataclasses.dataclass
@@ -67,6 +83,7 @@ class MapStore:
         self.kf_parent = np.full(N, -1, np.int32)     # spanning tree
         self.kf_loop_edges: dict[int, set[int]] = defaultdict(set)
         self.kf_frame_id = np.full(N, -1, np.int64)   # source frame id
+        self._kf_host: dict[int, KFHostView] = {}     # lazy host copies
 
         self._next_pt = 0
         self._next_kf = 0
@@ -79,14 +96,55 @@ class MapStore:
     # allocation
     # ------------------------------------------------------------------
 
+    def _grow_point_pool(self, need: int):
+        """Double the point pool until ``need`` slots fit. Ids are stable
+        (arrays only ever grow at the tail) so forwarding, observation
+        lists and outstanding references all survive — the reference's
+        map is an unbounded pointer set (cMap.h:42-89) and never fails
+        an insert; neither does this pool."""
+        old, new = self.capacity_pts, self.capacity_pts
+        while new < need:
+            new *= 2
+        grow = lambda a, fill=0: np.concatenate(
+            [a, np.full((new - old,) + a.shape[1:], fill, a.dtype)], 0)
+        self.pt_valid = grow(self.pt_valid)
+        self.pt_pos = grow(self.pt_pos)
+        self.pt_desc = grow(self.pt_desc)
+        self.pt_desc_mask = grow(self.pt_desc_mask, 0xFFFFFFFF)
+        self.pt_normal = grow(self.pt_normal)
+        self.pt_min_dist = grow(self.pt_min_dist)
+        self.pt_max_dist = grow(self.pt_max_dist)
+        self.pt_visible = grow(self.pt_visible)
+        self.pt_found = grow(self.pt_found)
+        self.pt_first_kf = grow(self.pt_first_kf, -1)
+        self.pt_forward = np.concatenate(
+            [self.pt_forward, np.arange(old, new, dtype=np.int32)])
+        self.capacity_pts = new
+
+    def _grow_kf_pool(self, need: int):
+        """Double the keyframe pool (see _grow_point_pool)."""
+        old, new = self.capacity_kfs, self.capacity_kfs
+        while new < need:
+            new *= 2
+        grow = lambda a, fill=0: np.concatenate(
+            [a, np.full((new - old,) + a.shape[1:], fill, a.dtype)], 0)
+        self.kf_valid = grow(self.kf_valid)
+        self.kf_pose = grow(self.kf_pose)
+        self.kf_features.extend([None] * (new - old))
+        self.kf_pt = grow(self.kf_pt, -1)
+        self.kf_parent = grow(self.kf_parent, -1)
+        self.kf_frame_id = grow(self.kf_frame_id, -1)
+        self.capacity_kfs = new
+
     def alloc_points(self, n: int) -> np.ndarray:
         """Allocate n point slots. BUMP-ONLY: dead ids are never reused,
         so stale references (tracker frames, queued work) can always be
         resolved through ``pt_replaced`` or detected as dead — the
         array-pool analogue of the reference's mpReplaced pointer
-        (cMapPoint::Replace)."""
+        (cMapPoint::Replace). The pool GROWS when exhausted instead of
+        failing mid-track (the reference map is unbounded)."""
         if self._next_pt + n > self.capacity_pts:
-            raise MemoryError("map point pool exhausted")
+            self._grow_point_pool(self._next_pt + n)
         ids = np.arange(self._next_pt, self._next_pt + n, dtype=np.int32)
         self._next_pt += n
         self.pt_valid[ids] = True
@@ -112,7 +170,7 @@ class MapStore:
     def alloc_keyframe(self, pose_min: np.ndarray, feats: Features,
                        frame_id: int) -> int:
         if self._next_kf >= self.capacity_kfs:
-            raise MemoryError("keyframe pool exhausted")
+            self._grow_kf_pool(self._next_kf + 1)
         kf = self._next_kf
         self._next_kf += 1
         self.kf_valid[kf] = True
@@ -120,6 +178,19 @@ class MapStore:
         self.kf_features[kf] = feats
         self.kf_frame_id[kf] = frame_id
         return kf
+
+    def kf_host(self, kf: int) -> Optional[KFHostView]:
+        """Host copy of keyframe ``kf``'s feature arrays (one batched
+        device_get per keyframe, then cached)."""
+        v = self._kf_host.get(kf)
+        if v is None:
+            f = self.kf_features[kf]
+            if f is None:
+                return None
+            v = KFHostView(*jax.device_get(
+                (f.xy, f.level, f.desc, f.desc_mask, f.ray)))
+            self._kf_host[kf] = v
+        return v
 
     # ------------------------------------------------------------------
     # observations
@@ -223,6 +294,7 @@ class MapStore:
         self.kf_parent[self.kf_parent == kf] = parent
         self.kf_valid[kf] = False
         self.kf_features[kf] = None
+        self._kf_host.pop(kf, None)
         if self.on_kf_removed is not None:
             self.on_kf_removed(kf)
 
@@ -251,10 +323,18 @@ class MapStore:
             for kf, _, _ in lst:
                 self._covis_link(pt, kf)
 
-    def covisible_keyframes(self, kf: int, min_weight: int = 15,
+    def connected_keyframes(self, kf: int) -> list[int]:
+        """ALL keyframes sharing at least one landmark with ``kf``
+        (GetConnectedKeyFrames, cMultiKeyFrame.cpp:214-222) — the
+        loop-candidate exclusion set and the loop consistency groups use
+        every connection, NOT the >=30 covisibility list."""
+        return [k for k in self._covis.get(kf, {}) if self.kf_valid[k]]
+
+    def covisible_keyframes(self, kf: int, min_weight: int = 30,
                             best_n: int | None = None) -> list[int]:
-        """Covisible KFs sorted by weight (threshold 15 like
-        UpdateConnections; GetBestCovisibilityKeyFrames with best_n)."""
+        """Covisible KFs sorted by weight (UpdateConnections threshold
+        th=30, cMultiKeyFrame.cpp:450; GetBestCovisibilityKeyFrames with
+        best_n)."""
         w = self.covisibility_weights(kf)
         ordered = sorted(w.items(), key=lambda kv: -kv[1])
         out = [k for k, v in ordered if v >= min_weight]
@@ -274,54 +354,119 @@ class MapStore:
     # ComputeDistinctiveDescriptors)
     # ------------------------------------------------------------------
 
-    def update_point_stats(self, pts: np.ndarray, rig_centers_fn,
+    def update_point_stats(self, pts: np.ndarray, M_c: np.ndarray,
                            scale_factor: float = 1.2, n_levels: int = 8):
         """Recompute mean viewing ray + scale-invariance distances for the
         given points (min*0.8 / max*1.2 rule, cMapPoint.cpp:449-504) and
         the distinctive descriptor (min-median Hamming,
-        cMapPoint.cpp:294-388, computed in numpy - observation counts are
-        tiny)."""
-        for p in np.atleast_1d(pts):
+        cMapPoint.cpp:294-388).
+
+        Fully batched: keyframe poses are gathered ONCE, camera centers /
+        normals / depth ranges are numpy over a packed (point, obs)
+        table, and the distinctive descriptors are ONE native call over
+        the packed table — host cost stays flat as the map grows.
+        ``M_c``: (C, 4, 4) rig extrinsics (numpy)."""
+        from .. import runtime
+
+        pts = np.atleast_1d(np.asarray(pts, np.int64))
+        sel: list[int] = []
+        row_pt: list[int] = []
+        row_kf: list[int] = []
+        row_cam: list[int] = []
+        row_slot: list[int] = []
+        for p in pts:
             p = int(p)
-            obs = self.pt_obs.get(p, [])
+            obs = self.pt_obs.get(p)
             if not obs or not self.pt_valid[p]:
                 continue
-            pos = self.pt_pos[p]
-            normals = []
-            descs = []
-            ref_dist = None
-            ref_level = 0
+            i = len(sel)
+            sel.append(p)
             for kf, cam, slot in obs:
-                center = rig_centers_fn(kf, cam)
-                d = pos - center
-                n = np.linalg.norm(d)
-                if n > 1e-9:
-                    normals.append(d / n)
-                f = self.kf_features[kf]
-                if f is not None:
-                    descs.append(np.asarray(f.desc[cam, slot]))
-                    if ref_dist is None:
-                        ref_dist = n
-                        ref_level = int(f.level[cam, slot])
-            if normals:
-                m = np.mean(normals, 0)
-                nm = np.linalg.norm(m)
-                self.pt_normal[p] = m / nm if nm > 1e-9 else m
-            if ref_dist is not None:
-                level_factor = scale_factor ** ref_level
-                max_d = ref_dist * level_factor
-                min_d = max_d / (scale_factor ** (n_levels - 1))
-                self.pt_min_dist[p] = min_d * 0.8
-                self.pt_max_dist[p] = max_d * 1.2
-            if descs:
-                from .. import runtime
-                D = np.stack(descs)          # (O, W) uint32
-                best = runtime.distinctive_descriptor(D)
-                self.pt_desc[p] = D[best]
-                f = self.kf_features[obs[best][0]]
-                if f is not None:
-                    self.pt_desc_mask[p] = np.asarray(
-                        f.desc_mask[obs[best][1], obs[best][2]])
+                row_pt.append(i)
+                row_kf.append(kf)
+                row_cam.append(cam)
+                row_slot.append(slot)
+        if not sel:
+            return
+        sel_a = np.asarray(sel, np.int64)
+        row_pt_a = np.asarray(row_pt, np.int64)
+        row_kf_a = np.asarray(row_kf, np.int64)
+        row_cam_a = np.asarray(row_cam, np.int64)
+        row_slot_a = np.asarray(row_slot, np.int64)
+        M_c = np.asarray(M_c, np.float64)
+
+        # camera centers per observation: (M_t[kf] @ M_c[cam])[:3, 3]
+        ukf, inv = np.unique(row_kf_a, return_inverse=True)
+        M_kf = se3_np.cayley2hom(self.kf_pose[ukf])       # (U, 4, 4)
+        centers = (np.einsum("oij,oj->oi", M_kf[inv, :3, :3],
+                             M_c[row_cam_a, :3, 3])
+                   + M_kf[inv, :3, 3])
+        d = self.pt_pos[sel_a][row_pt_a].astype(np.float64) - centers
+        dist = np.linalg.norm(d, axis=1)
+        good = dist > 1e-9
+        dn = np.where(good[:, None], d / np.maximum(dist, 1e-9)[:, None], 0.0)
+        acc = np.zeros((len(sel_a), 3))
+        np.add.at(acc, row_pt_a, dn)
+        any_good = np.zeros(len(sel_a), bool)
+        any_good[row_pt_a[good]] = True
+        nm = np.linalg.norm(acc, axis=1)
+        normals = np.where(nm[:, None] > 1e-9,
+                           acc / np.maximum(nm, 1e-9)[:, None], acc)
+        self.pt_normal[sel_a[any_good]] = \
+            normals[any_good].astype(np.float32)
+
+        # per-observation level / descriptor / mask from the host caches
+        # (grouped by keyframe: one fancy-index gather per KF)
+        O = len(row_pt_a)
+        lvl_row = np.zeros(O, np.int32)
+        desc_row = np.zeros((O, self.desc_words), np.uint32)
+        mask_row = np.full((O, self.desc_words), 0xFFFFFFFF, np.uint32)
+        row_ok = np.zeros(O, bool)
+        for u, kf in enumerate(ukf):
+            host = self.kf_host(int(kf))
+            if host is None:
+                continue
+            r = np.nonzero(inv == u)[0]
+            lvl_row[r] = host.level[row_cam_a[r], row_slot_a[r]]
+            desc_row[r] = host.desc[row_cam_a[r], row_slot_a[r]]
+            mask_row[r] = host.desc_mask[row_cam_a[r], row_slot_a[r]]
+            row_ok[r] = True
+
+        # scale-invariance range from the FIRST observation with features
+        # (reference iterates observations in insertion order,
+        # cMapPoint.cpp:449-504)
+        order = np.lexsort((np.arange(O), np.where(row_ok, 0, 1), row_pt_a))
+        first_of = np.zeros(len(sel_a), np.int64)
+        seen = np.zeros(len(sel_a), bool)
+        srt_pt = row_pt_a[order]
+        first_idx = np.unique(srt_pt, return_index=True)[1]
+        first_of[srt_pt[first_idx]] = order[first_idx]
+        seen[srt_pt[first_idx]] = True
+        ref_ok = seen & row_ok[first_of]
+        ref_rows = first_of[ref_ok]
+        max_d = dist[ref_rows] * scale_factor ** lvl_row[ref_rows].astype(
+            np.float64)
+        min_d = max_d / (scale_factor ** (n_levels - 1))
+        self.pt_min_dist[sel_a[ref_ok]] = (min_d * 0.8).astype(np.float32)
+        self.pt_max_dist[sel_a[ref_ok]] = (max_d * 1.2).astype(np.float32)
+
+        # distinctive descriptor: pack feature-backed rows per point and
+        # pick min-median-Hamming in ONE native call (cMapPoint.cpp:294-388)
+        keep = np.nonzero(row_ok)[0]
+        if len(keep) == 0:
+            return
+        kp_pt = row_pt_a[keep]
+        cnt = np.bincount(kp_pt, minlength=len(sel_a))
+        offsets = np.zeros(len(sel_a) + 1, np.int32)
+        np.cumsum(cnt, out=offsets[1:])
+        ordk = keep[np.argsort(kp_pt, kind="stable")]
+        best_rel = runtime.distinctive_descriptors_batch(
+            desc_row[ordk], offsets)
+        has = best_rel >= 0
+        best_rows = ordk[np.clip(offsets[:-1] + best_rel, 0, None)]
+        w = sel_a[has]
+        self.pt_desc[w] = desc_row[best_rows[has]]
+        self.pt_desc_mask[w] = mask_row[best_rows[has]]
 
     # ------------------------------------------------------------------
     # snapshots for device work

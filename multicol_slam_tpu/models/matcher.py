@@ -266,8 +266,9 @@ PALLAS_MIN_CANDIDATES = 2048
 def pick_fuse_fn(n_candidates: int, params: MatchParams):
     """Route map-scale fuse passes through the Pallas streaming kernel
     (VMEM-bounded, no (P, K) f32 distance matrix) when the candidate set
-    is large, the descriptors are unmasked, and we're on TPU."""
-    if (n_candidates >= PALLAS_MIN_CANDIDATES and not params.masked
+    is large and we're on TPU. Masked (mdBRIEF) descriptors stream too
+    via the two-extra-GEMM masked kernel."""
+    if (n_candidates >= PALLAS_MIN_CANDIDATES
             and jax.default_backend() == "tpu"):
         return fuse_candidates_fused
     return fuse_candidates
@@ -282,9 +283,11 @@ def fuse_candidates_fused(feats: Features, has_point: jax.Array,
     """fuse_candidates semantics with the distance+argmin computed by
     the streaming Pallas Hamming-NN kernel (ops/pallas/hamming_nn):
     per-camera, the (P, K) f32 distance matrix never materializes in
-    HBM. Unmasked descriptors only; P must be a multiple of 128 (the
-    callers' power-of-two candidate buckets satisfy this)."""
-    from ..ops.pallas.hamming_nn import fused_hamming_nn
+    HBM. P must be a multiple of 128 (the callers' power-of-two
+    candidate buckets satisfy this); masked (mdBRIEF) descriptors use
+    the masked kernel variant."""
+    from ..ops.pallas.hamming_nn import (fused_hamming_nn,
+                                         fused_hamming_nn_masked)
 
     sf = params.scale_factor
     C, K = feats.desc.shape[:2]
@@ -293,6 +296,7 @@ def fuse_candidates_fused(feats: Features, has_point: jax.Array,
     outs = []
     for c in range(C):       # C is tiny and static: unrolled
         fd = feats.desc[c]
+        fm = feats.desc_mask[c]
         flvl = feats.level[c]
         radius = th * sf ** pred_level[c].astype(jnp.float32)
         d2 = jnp.sum((feats.xy[c][None, :, :]
@@ -304,9 +308,15 @@ def fuse_candidates_fused(feats: Features, has_point: jax.Array,
         if Kpad != K:
             fd = jnp.concatenate(
                 [fd, jnp.zeros((Kpad - K, fd.shape[1]), fd.dtype)], 0)
+            fm = jnp.concatenate(
+                [fm, jnp.zeros((Kpad - K, fm.shape[1]), fm.dtype)], 0)
             gate = jnp.concatenate(
                 [gate, jnp.zeros((P, Kpad - K), bool)], 1)
-        idx, best, _ = fused_hamming_nn(pt_desc, fd, gate)
+        if params.masked:
+            idx, best, _ = fused_hamming_nn_masked(pt_desc, pt_mask,
+                                                   fd, fm, gate)
+        else:
+            idx, best, _ = fused_hamming_nn(pt_desc, fd, gate)
         match = jnp.where(best <= params.th_low, idx, -1)
         outs.append(hm.resolve_duplicate_targets(match, best, Kpad))
     return jnp.stack(outs)

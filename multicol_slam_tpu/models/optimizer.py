@@ -87,7 +87,11 @@ def pose_optimization(rig: Rig, mt_min0: jax.Array, obs: BAObservations,
 
     X_world: (P, 3) fixed points, indexed by obs.pt. Two LM rounds with a
     chi2 > delta^2 outlier gate between them, mirroring
-    cOptimizer.cpp:412-440. Returns (mt_min, inlier_mask, n_inliers).
+    cOptimizer.cpp:412-440. Each round is a while_loop that stops early
+    when an accepted step's relative cost gain drops below GAIN_EPS
+    (SparseOptimizerTerminateAction gain 1e-6, cOptimizer.cpp:88-92) —
+    converged frames don't burn the full iteration budget.
+    Returns (mt_min, inlier_mask, n_inliers, n_iterations).
     """
     mc_min = rig.M_c_min
     delta2 = huber * huber
@@ -121,8 +125,12 @@ def pose_optimization(rig: Rig, mt_min0: jax.Array, obs: BAObservations,
         H0, _ = hess(mt_min)
         lam0 = LM_TAU * jnp.max(jnp.diag(H0))
 
-        def body(_, state):
-            mt, lam, cost = state
+        def cond(state):
+            _, _, _, it, done = state
+            return (it < iters) & ~done
+
+        def body(state):
+            mt, lam, cost, it, _ = state
             H, g = hess(mt)
             Hd = H + lam * jnp.eye(6, dtype=H.dtype)
             # NOTE: J is d(r)/d(mt) of r = m - pi, so the Gauss-Newton
@@ -132,23 +140,29 @@ def pose_optimization(rig: Rig, mt_min0: jax.Array, obs: BAObservations,
             mt_new = mt - d
             _, cost_new = chi2_of(mt_new, w_valid)
             accept = cost_new < cost
+            # gain-ratio termination (SparseOptimizerTerminateAction
+            # 1e-6, cOptimizer.cpp:88-92): an accepted step that barely
+            # improved the cost means convergence — stop
+            gain = (cost - cost_new) / jnp.maximum(cost_new, 1e-12)
+            done = accept & (gain < GAIN_EPS)
             mt = jnp.where(accept, mt_new, mt)
             cost = jnp.where(accept, cost_new, cost)
             lam = jnp.where(accept, lam * 0.5, lam * 4.0)
-            return mt, lam, cost
+            return mt, lam, cost, it + 1, done
 
-        mt_min, _, _ = jax.lax.fori_loop(0, iters, body,
-                                         (mt_min, lam0, cost0))
-        return mt_min
+        mt_min, _, _, n_it, _ = jax.lax.while_loop(
+            cond, body,
+            (mt_min, lam0, cost0, jnp.int32(0), jnp.bool_(False)))
+        return mt_min, n_it
 
     w_valid = obs.valid
-    mt1 = lm_round(mt_min0, w_valid, iters1)
+    mt1, it1 = lm_round(mt_min0, w_valid, iters1)
     chi2, _ = chi2_of(mt1, w_valid)
     inlier = w_valid & (chi2 <= delta2)
-    mt2 = lm_round(mt1, inlier, iters2)
+    mt2, it2 = lm_round(mt1, inlier, iters2)
     chi2b, _ = chi2_of(mt2, w_valid)
     inlier_final = w_valid & (chi2b <= delta2)
-    return mt2, inlier_final, jnp.sum(inlier_final)
+    return mt2, inlier_final, jnp.sum(inlier_final), it1 + it2
 
 
 # ---------------------------------------------------------------------------
@@ -305,19 +319,28 @@ def bundle_adjustment(rig: Rig, mt_min0: jax.Array, X0: jax.Array,
 
     cost0, _ = cost_of(mt_min0, X0)
 
-    def body(_, state):
-        mt, X, lam, cost = state
+    def cond(state):
+        _, _, _, _, it, done = state
+        return (it < iters) & ~done
+
+    def body(state):
+        mt, X, lam, cost, it, _ = state
         mt_new, X_new = schur_step(mt, X, lam)
         cost_new, _ = cost_of(mt_new, X_new)
         accept = cost_new < cost
-        mt = jax.tree.map(lambda a, b: jnp.where(accept, b, a), mt, mt_new)
-        X = jax.tree.map(lambda a, b: jnp.where(accept, b, a), X, X_new)
+        # gain-ratio termination (SparseOptimizerTerminateAction 1e-6,
+        # cOptimizer.cpp:88-92)
+        gain = (cost - cost_new) / jnp.maximum(cost_new, 1e-12)
+        done = accept & (gain < GAIN_EPS)
+        mt = jnp.where(accept, mt_new, mt)
+        X = jnp.where(accept, X_new, X)
         cost = jnp.where(accept, cost_new, cost)
         lam = jnp.where(accept, lam * 0.5, lam * 4.0)
-        return mt, X, lam, cost
+        return mt, X, lam, cost, it + 1, done
 
-    mt, X, _, _ = jax.lax.fori_loop(0, iters, body,
-                                    (mt_min0, X0, jnp.float32(1e-4), cost0))
+    mt, X, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (mt_min0, X0, jnp.float32(1e-4), cost0,
+                     jnp.int32(0), jnp.bool_(False)))
     _, chi2 = cost_of(mt, X)
     return mt, X, chi2
 
@@ -509,17 +532,23 @@ def self_calibrating_bundle_adjustment(rig: Rig, mt_min0: jax.Array,
 
     cost0, _ = cost_of(mt_min0, mc_min0, X0)
 
-    def body(_, state):
-        mt, mc, X, lam, cost = state
+    def cond(state):
+        return (state[5] < iters) & ~state[6]
+
+    def body(state):
+        mt, mc, X, lam, cost, it, _ = state
         mt_n, mc_n, X_n = schur_step(mt, mc, X, lam)
         cost_n, _ = cost_of(mt_n, mc_n, X_n)
         accept = cost_n < cost
+        gain = (cost - cost_n) / jnp.maximum(cost_n, 1e-12)
+        done = accept & (gain < GAIN_EPS)
         sel = lambda a, b: jnp.where(accept, b, a)
         return (sel(mt, mt_n), sel(mc, mc_n), sel(X, X_n),
                 jnp.where(accept, lam * 0.5, lam * 4.0),
-                jnp.where(accept, cost_n, cost))
+                jnp.where(accept, cost_n, cost), it + 1, done)
 
-    mt, mc, X, _, _ = jax.lax.fori_loop(
-        0, iters, body, (mt_min0, mc_min0, X0, jnp.float32(1e-4), cost0))
+    mt, mc, X, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (mt_min0, mc_min0, X0, jnp.float32(1e-4), cost0,
+                     jnp.int32(0), jnp.bool_(False)))
     _, chi2 = cost_of(mt, mc, X)
     return mt, X, mc, chi2

@@ -374,7 +374,7 @@ class MultiColSLAM:
         # refresh cached viewing-ray / scale-invariance stats staled by
         # the adjustment (cMapPoint::UpdateNormalAndDepth role)
         m.update_point_stats(np.asarray(pts, np.int64),
-                             self.tracker._kf_cam_center,
+                             self.tracker._M_c_np,
                              self.settings.scale_factor,
                              self.settings.n_levels)
         return cost

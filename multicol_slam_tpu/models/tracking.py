@@ -67,6 +67,8 @@ class TrackerConfig:
     kf_tracked_ratio: float = 0.9  # NeedNewKeyFrame ref-ratio condition
     kf_min_points: int = 50
     baseline_depth_ratio: float = 0.2  # curBaseline2MKF gate (:921)
+    # widened-window projection re-match after a weak reloc fit
+    reloc_second_chance: bool = True
 
     @property
     def min_frames(self) -> int:
@@ -111,8 +113,19 @@ def frustum_check(rig: Rig, mt_min: jax.Array, X: jax.Array,
     view_cos = jnp.einsum("cpi,pi->cp", PO, normal) / jnp.maximum(dist, 1e-9)
     w = rig.cams.width.astype(jnp.float32)
     h = rig.cams.height.astype(jnp.float32)
-    in_img = ((uv[..., 0] > 20) & (uv[..., 0] < w[:, None] - 20)
-              & (uv[..., 1] > 20) & (uv[..., 1] < h[:, None] - 20))
+    # mirror-mask containment (cMultiFrame.cpp:218-270 calls
+    # isPointInMirrorMask at pyramid level 0, cam_model_omni.cpp:163-178):
+    # the level-0 mask is analytic — a circle of radius v0+22 centered at
+    # (col=u0, row=v0) (CreateMirrorMask, cam_model_omni.cpp:181-220) —
+    # so candidates predicted into the fisheye corner dead zones are
+    # rejected, not just a rectangular border
+    ur = jnp.round(uv[..., 0])
+    vr = jnp.round(uv[..., 1])
+    cx = rig.cams.u0.astype(jnp.float32)[:, None]
+    cy = rig.cams.v0.astype(jnp.float32)[:, None]
+    r = cy + 22.0
+    in_img = ((ur > 0) & (ur < w[:, None]) & (vr > 0) & (vr < h[:, None])
+              & ((ur - cx) ** 2 + (vr - cy) ** 2 < r * r))
     ok = ((Xc[..., 2] > 0) & in_img
           & (dist >= min_dist[None, :]) & (dist <= max_dist[None, :])
           & (view_cos > 0.5))
@@ -134,7 +147,7 @@ def motion_track_step(rig: Rig, mt_pred: jax.Array, last_pts: jax.Array,
     accelerator every synchronous dispatch pays the tunnel RTT.
 
     Returns (match (C,K_last)->cur slot, mt, inlier (C,K_last) over
-    last slots, n_inliers, n_matches)."""
+    last slots, n_inliers, n_matches, n_lm_iters)."""
     T = inv_se3(mt_mc(cayley2hom(mt_pred.astype(jnp.float32)), rig.M_c))
     Xc = jnp.einsum("cij,ckj->cki", T[:, :3, :3], last_pts) \
         + T[:, None, :3, 3]
@@ -154,9 +167,9 @@ def motion_track_step(rig: Rig, mt_pred: jax.Array, last_pts: jax.Array,
         pt=jnp.arange(C * K, dtype=jnp.int32),
         inv_sigma2=jnp.where(got, params.scale_factor ** (-2.0 * lvl), 1.0),
         valid=got)
-    mt, inlier, n_in = opt.pose_optimization(
+    mt, inlier, n_in, n_it = opt.pose_optimization(
         rig, mt_pred, obs, last_pts.reshape(-1, 3))
-    return match, mt, inlier.reshape(C, K), n_in, jnp.sum(got)
+    return match, mt, inlier.reshape(C, K), n_in, jnp.sum(got), n_it
 
 
 @functools.partial(jax.jit,
@@ -208,9 +221,9 @@ def local_map_track_step(rig: Rig, mt_cur: jax.Array, X: jax.Array,
         valid=jnp.concatenate([valid1, got2], 0))
     X_all = jnp.concatenate(
         [slot_X.reshape(-1, 3), jnp.tile(X, (C, 1))], 0)
-    mt, inlier, n_in = opt.pose_optimization(rig, mt_cur, obs, X_all)
+    mt, inlier, n_in, n_it = opt.pose_optimization(rig, mt_cur, obs, X_all)
     return (ok, match, mt, inlier[:C * K].reshape(C, K),
-            inlier[C * K:].reshape(C, P), n_in)
+            inlier[C * K:].reshape(C, P), n_in, n_it)
 
 
 class Tracker:
@@ -228,6 +241,7 @@ class Tracker:
             scale_factor=cfg.scale_factor)
         self.state = TrackState.NO_IMAGES_YET
         self.key = jax.random.PRNGKey(42)
+        self._M_c_np = np.asarray(jax.device_get(rig.M_c), np.float64)
 
         self.frame_id = -1
         self.last_kf_id = -1
@@ -251,6 +265,9 @@ class Tracker:
         self.timestamps: list[float] = []
         self.inlier_ratios: list[float] = []
         self.n_tracked: list[int] = []
+        # pose-LM iterations actually run per optimization (gain-ratio
+        # early stop, cOptimizer.cpp:88-92): observability for bench
+        self.lm_iters: list[int] = []
         # per-stage timings (cTracking.h:119-121 timingFeatureExtraction /
         # timingInitalPoseEst / timingTrackLocalMap)
         from ..utils.timing import StageTimers
@@ -401,7 +418,7 @@ class Tracker:
         for i, p in enumerate(ids):
             m.add_observation(int(p), kf0, lead, int(res.ref_slots[i]))
             m.add_observation(int(p), kf1, lead, int(res.cur_slots[i]))
-        m.update_point_stats(ids, self._kf_cam_center,
+        m.update_point_stats(ids, self._M_c_np,
                              self.cfg.scale_factor, self.cfg.n_levels)
         m.update_spanning_tree(kf1)
 
@@ -430,10 +447,6 @@ class Tracker:
             # with the refined map (reference: GlobalBundleAdjustment
             # inside CreateInitialMap updates the current frame pose)
             self.cur_mt = m.kf_pose[kf1].copy()
-
-    def _kf_cam_center(self, kf: int, cam: int) -> np.ndarray:
-        M_t = se3_np.cayley2hom(self.map.kf_pose[kf])
-        return (M_t @ np.asarray(self.rig.M_c[cam], np.float64))[:3, 3]
 
     # ------------------------------------------------------------------
     # frame-to-frame tracking
@@ -472,18 +485,22 @@ class Tracker:
             th=self.cfg.motion_th)
         # ONE host transfer for all outputs: through a remote-TPU
         # tunnel every separate blocking fetch pays the dispatch RTT
-        match, mt, inlier, n_in, n_matches = jax.device_get(out)
+        match, mt, inlier, n_in, n_matches, n_it = jax.device_get(out)
         n_matches = int(n_matches)
+        self.lm_iters.append(int(n_it))
         if n_matches < 20:
             return False
 
-        # assign matched map points to current slots; mark LM outliers
+        # assign matched map points to current slots; DISCARD LM outliers
+        # (the reference nulls outlier mvpMapPoints after
+        # TrackWithMotionModel, cTracking.cpp:817-830, so they neither
+        # vote in TrackLocalMap's LM nor block the slot from rematching)
         C, K = match.shape
         for c in range(C):
             sel = np.nonzero(match[c] >= 0)[0]
             self.cur_pt[c, match[c, sel]] = self.last_pt[c, sel]
             bad = sel[~inlier[c, sel]]
-            self.cur_outlier[c, match[c, bad]] = True
+            self.cur_pt[c, match[c, bad]] = -1
         self.cur_mt = np.asarray(mt)
         n_in = int(n_in)
         self.inlier_ratios.append(n_in / max(n_matches, 1))
@@ -548,10 +565,11 @@ class Tracker:
             uv=jnp.asarray(uv), kf=jnp.zeros(cap, jnp.int32),
             cam=jnp.asarray(cams), pt=jnp.arange(cap, dtype=jnp.int32),
             inv_sigma2=jnp.asarray(inv_sigma2), valid=jnp.asarray(valid))
-        mt, inlier, n_in = opt.pose_optimization(
+        mt, inlier, n_in, n_it = opt.pose_optimization(
             self.rig, jnp.asarray(np.asarray(mt_init, np.float64)), obs,
             jnp.asarray(X))
         n_in = int(n_in)
+        self.lm_iters.append(int(n_it))
         inlier = np.asarray(inlier)[:n]
         # mark outliers on the frame (cOptimizer.cpp:414-438 effect)
         out_c = cam_idx[~inlier]
@@ -590,10 +608,16 @@ class Tracker:
         pts = np.asarray([p for p in pts if self.map.pt_valid[p]], np.int32)
         return np.asarray(local_kfs, np.int32), pts
 
-    def _track_local_map(self) -> bool:
+    def _track_local_map(self, th: float | None = None,
+                         update_counters: bool = True) -> bool:
         """TrackLocalMap (:834-888), fused: frustum check + local-map
         matching + pose LM over (existing slot associations + new
-        matches) run as ONE device dispatch (local_map_track_step)."""
+        matches) run as ONE device dispatch (local_map_track_step).
+
+        ``th`` overrides the search window scale (the relocalization
+        second-chance round re-matches with widened windows, th=10);
+        ``update_counters=False`` skips the visibility/found counters so
+        a reloc attempt does not skew culling statistics."""
         local_kfs, local_pts = self._local_map_ids()
         if len(local_pts) == 0:
             return False
@@ -608,21 +632,32 @@ class Tracker:
         maxd = pad(m.pt_max_dist[local_pts], 1.0)
         desc = pad(m.pt_desc[local_pts])
         dmask = pad(m.pt_desc_mask[local_pts])
-        # padding + points already in the frame are not candidates
-        cand_ok = np.zeros(cap, bool)
-        cand_ok[:P] = ~np.isin(local_pts, self.cur_pt[self.cur_pt >= 0])
 
-        # world positions of the frame's current associations (the
-        # motion-model matches), one row per slot
+        # clean up the frame's associations BEFORE deriving the
+        # candidate set: follow merge forwarding, drop slots flagged as
+        # outliers by the initial pose LM (the reference nulls those,
+        # cTracking.cpp:817-830) and slots whose landmark died — the
+        # remaining set is both the LM observation group and the matcher
+        # occupancy mask, so the inlier denominator matches the applied
+        # associations exactly
         self.cur_pt = m.resolve_points(self.cur_pt)
+        drop = (self.cur_pt >= 0) & self.cur_outlier
+        self.cur_pt[drop] = -1
+        self.cur_outlier[drop] = False
         C, K = self.cur_pt.shape
+        raw_has = self.cur_pt >= 0
+        dead = np.zeros((C, K), bool)
+        dead[raw_has] = ~m.pt_valid[self.cur_pt[raw_has]]
+        self.cur_pt[dead] = -1
         slot_has = self.cur_pt >= 0
         slot_X = np.zeros((C, K, 3), np.float32)
-        ids = self.cur_pt[slot_has]
-        slot_X[slot_has] = m.pt_pos[ids]
-        alive = np.zeros((C, K), bool)
-        alive[slot_has] = m.pt_valid[ids]
-        slot_has = alive
+        slot_X[slot_has] = m.pt_pos[self.cur_pt[slot_has]]
+
+        # padding + points already associated in the frame are not
+        # candidates (computed AFTER resolve_points so a landmark merged
+        # into an already-associated id is excluded too)
+        cand_ok = np.zeros(cap, bool)
+        cand_ok[:P] = ~np.isin(local_pts, self.cur_pt[slot_has])
 
         out = local_map_track_step(
             self.rig, jnp.asarray(self.cur_mt), jnp.asarray(X),
@@ -630,14 +665,17 @@ class Tracker:
             jnp.asarray(cand_ok), jnp.asarray(desc), jnp.asarray(dmask),
             self.cur_feats, jnp.asarray(slot_has),
             jnp.asarray(slot_X), jnp.asarray(slot_has), self.params,
-            th=self.cfg.local_map_th, n_levels=self.cfg.n_levels,
+            th=self.cfg.local_map_th if th is None else th,
+            n_levels=self.cfg.n_levels,
             scale_factor=self.cfg.scale_factor)
         # ONE host transfer for all outputs (see motion_track_step note)
-        ok, match, mt, inl_slot, inl_new, n_in = jax.device_get(out)
+        ok, match, mt, inl_slot, inl_new, n_in, n_it = jax.device_get(out)
+        self.lm_iters.append(int(n_it))
 
         # visibility counters (isInFrustum -> IncreaseVisible)
-        vis = ok[:, :P].any(0)
-        m.pt_visible[local_pts[vis]] += 1
+        if update_counters:
+            vis = ok[:, :P].any(0)
+            m.pt_visible[local_pts[vis]] += 1
         n_new = 0
         for c in range(C):
             sel = np.nonzero(match[c, :P] >= 0)[0]
@@ -654,10 +692,11 @@ class Tracker:
         n_obs = int(slot_has.sum()) + n_new
         self.inlier_ratios.append(n_in / max(n_obs, 1))
         okpose = n_in >= self.cfg.min_inliers_local
-        # found counters for culling (TrackLocalMap IncreaseFound)
-        tracked = self.cur_pt[(self.cur_pt >= 0) & ~self.cur_outlier]
-        m.pt_found[tracked] += 1
-        self.n_tracked.append(len(tracked))
+        if update_counters:
+            # found counters for culling (TrackLocalMap IncreaseFound)
+            tracked = self.cur_pt[(self.cur_pt >= 0) & ~self.cur_outlier]
+            m.pt_found[tracked] += 1
+            self.n_tracked.append(len(tracked))
         return okpose
 
     # ------------------------------------------------------------------
@@ -808,6 +847,16 @@ class Tracker:
                 mt_init = se3_np.hom2cayley(M_body)
 
         ok = self._optimize_current_pose(mt_init, 10)
+        n_assoc = int(((self.cur_pt >= 0) & ~self.cur_outlier).sum())
+        if self.cfg.reloc_second_chance and (not ok or n_assoc < 50):
+            # SECOND-CHANCE round: the first fit was weak (or failed) —
+            # re-match the candidate neighborhood's landmarks by
+            # PROJECTION with widened windows from the refined pose and
+            # re-optimize (ORB-SLAM's second relocalization round; the
+            # reference inherits the machinery via SearchByProjection(F,
+            # KF, sFound, th, ORBdist), cORBmatcher.cpp:2120, and accepts
+            # a fit at >=10 inliers, cTracking.cpp:1284-1297)
+            ok = self._track_local_map(th=10.0, update_counters=False) or ok
         if ok:
             self.last_reloc_frame = self.frame_id
         return ok
@@ -832,5 +881,6 @@ class Tracker:
         self.timestamps.clear()
         self.inlier_ratios.clear()
         self.n_tracked.clear()
+        self.lm_iters.clear()
         if getattr(self, "on_reset", None):
             self.on_reset()

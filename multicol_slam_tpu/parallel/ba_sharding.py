@@ -222,20 +222,29 @@ def make_sharded_ba(mesh: Mesh, rig: Rig, n_kf: int, n_pt: int, *,
 
         cost0 = cost_of(mt0, X0)
 
-        def body(_, state):
-            mt, X, lam, cost = state
+        def cond(state):
+            return (state[4] < iters) & ~state[5]
+
+        def body(state):
+            mt, X, lam, cost, it, _ = state
             mt_n, X_n, _ = _sharded_solve(mt, X, obs, pt_obs, fixed_kf,
                                           fixed_pt, lam, local_blocks, n_kf)
             cost_n = cost_of(mt_n, X_n)
             accept = cost_n < cost
+            # gain-ratio termination — identical schedule to
+            # models.optimizer.bundle_adjustment so the sharded and
+            # single-device paths stay bit-equivalent
+            gain = (cost - cost_n) / jnp.maximum(cost_n, 1e-12)
+            done = accept & (gain < 1e-6)
             mt = jnp.where(accept, mt_n, mt)
             X = jnp.where(accept, X_n, X)
             cost = jnp.where(accept, cost_n, cost)
             lam = jnp.where(accept, lam * 0.5, lam * 4.0)
-            return mt, X, lam, cost
+            return mt, X, lam, cost, it + 1, done
 
-        mt, X, _, cost = jax.lax.fori_loop(
-            0, iters, body, (mt0, X0, jnp.float32(1e-4), cost0))
+        mt, X, _, cost, _, _ = jax.lax.while_loop(
+            cond, body, (mt0, X0, jnp.float32(1e-4), cost0,
+                         jnp.int32(0), jnp.bool_(False)))
         return mt, X, cost
 
     return jax.jit(ba)

@@ -62,6 +62,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                         ctypes.c_int, ctypes.c_int, i32p, i32p]
     lib.distinctive_descriptor.restype = ctypes.c_int
     lib.distinctive_descriptor.argtypes = [u64p, ctypes.c_int, ctypes.c_int]
+    lib.distinctive_descriptors_batch.restype = ctypes.c_int
+    lib.distinctive_descriptors_batch.argtypes = [u64p, i32p, ctypes.c_int,
+                                                  ctypes.c_int, i32p]
     lib.shared_word_counts.restype = ctypes.c_int
     lib.shared_word_counts.argtypes = [i32p, i32p, ctypes.c_int, i32p,
                                        ctypes.c_int, i32p, ctypes.c_int,
@@ -165,6 +168,30 @@ def distinctive_descriptor(descs_u32: np.ndarray) -> int:
     bits = np.unpackbits(descs_u32.view(np.uint8), axis=1)
     ham = (bits[:, None, :] != bits[None, :, :]).sum(-1)
     return int(np.argmin(np.median(ham, axis=1)))
+
+
+def distinctive_descriptors_batch(descs_u32: np.ndarray,
+                                  offsets: np.ndarray) -> np.ndarray:
+    """Per-segment min-median-Hamming selection over a packed (obs, W)
+    uint32 table; segment p = rows [offsets[p], offsets[p+1]). Returns
+    segment-relative best indices (-1 for empty segments)."""
+    n_pts = len(offsets) - 1
+    if n_pts <= 0:
+        return np.empty(0, np.int32)
+    descs_u32 = np.ascontiguousarray(descs_u32, np.uint32)
+    offsets = np.ascontiguousarray(offsets, np.int32)
+    lib = get_lib()
+    if lib is not None and descs_u32.shape[1] % 2 == 0:
+        d64 = descs_u32.view(np.uint64)
+        out = np.empty(n_pts, np.int32)
+        lib.distinctive_descriptors_batch(d64, offsets, n_pts,
+                                          d64.shape[1], out)
+        return out
+    out = np.empty(n_pts, np.int32)
+    for p in range(n_pts):
+        seg = descs_u32[offsets[p]:offsets[p + 1]]
+        out[p] = distinctive_descriptor(seg)
+    return out
 
 
 def shared_word_counts(inv_start: np.ndarray, inv_kf: np.ndarray,

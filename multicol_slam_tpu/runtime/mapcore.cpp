@@ -227,6 +227,26 @@ int distinctive_descriptor(const uint64_t* descs, int o, int w64) {
   return best;
 }
 
+// descs: packed observation descriptors, segment p = rows
+// [offsets[p], offsets[p+1]) of w64 uint64 words each. Writes, per
+// segment, the SEGMENT-RELATIVE index of its min-median-Hamming row
+// (-1 for empty segments). One call covers every point touched by a
+// mapping pass (cMapPoint::ComputeDistinctiveDescriptors batched).
+int distinctive_descriptors_batch(const uint64_t* descs,
+                                  const int32_t* offsets, int n_pts, int w64,
+                                  int32_t* out_best) {
+  for (int p = 0; p < n_pts; ++p) {
+    const int s = offsets[p], e = offsets[p + 1];
+    const int o = e - s;
+    if (o <= 0) {
+      out_best[p] = -1;
+      continue;
+    }
+    out_best[p] = distinctive_descriptor(descs + (size_t)s * w64, o, w64);
+  }
+  return n_pts;
+}
+
 // ---------------------------------------------------------------------------
 // Inverted-file shared-word counting
 // ---------------------------------------------------------------------------

@@ -115,7 +115,7 @@ def test_track_sequence(setup):
             cam=jnp.asarray(np.asarray(obs_cam, np.int32)),
             pt=jnp.asarray(np.arange(K, dtype=np.int32)),
             inv_sigma2=jnp.ones(K), valid=jnp.ones(K, bool))
-        mt, inl, n_in = opt.pose_optimization(
+        mt, inl, n_in, _ = opt.pose_optimization(
             rig, jnp.asarray(mt_min_est, jnp.float64), obs,
             jnp.asarray(np.asarray(X_list)))
         mt_min_est = np.asarray(mt)

@@ -102,7 +102,7 @@ def test_extraction_and_tracking_8cam(ring_rig):
         cam=jnp.asarray(np.asarray(obs_cam, np.int32)),
         pt=jnp.arange(K, dtype=jnp.int32),
         inv_sigma2=jnp.ones(K), valid=jnp.ones(K, bool))
-    mt, inl, n_in = opt.pose_optimization(
+    mt, inl, n_in, _ = opt.pose_optimization(
         rig, jnp.zeros(6, jnp.float64), obs,
         jnp.asarray(np.asarray(X_list)))
     M_est = np.asarray(geo.cayley2hom(mt))

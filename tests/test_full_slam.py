@@ -88,3 +88,53 @@ def test_trajectory_io(tmp_path, slam_run):
     ts, pos, quat = load_tum(p)
     assert len(ts) == len(slam.tracker.all_poses)
     np.testing.assert_allclose(np.linalg.norm(quat, axis=1), 1.0, atol=1e-5)
+
+
+def test_reloc_second_chance_recovers_weak_match_set(slam_run):
+    """Relocalization second-chance round: a BoW match set too weak for
+    the single-pass fit (8 of 16 candidate matches corrupted -> < 10
+    pose-LM inliers) must still relocalize via the widened-window
+    projection re-match from the refined pose (cTracking.cpp:1284-1297
+    accepts at >=10; the projection round is ORB-SLAM's second reloc
+    round through SearchByProjection(F, KF, ...), cORBmatcher.cpp:2120).
+    """
+    slam, *_ = slam_run
+    tr = slam.tracker
+    m = slam.map
+    kfs = m.keyframe_ids()
+    kf = int(kfs[-1])
+    feats = m.kf_features[kf]
+    assert feats is not None
+
+    # weak match set: 16 triples against the KF's own frame, half with
+    # a corrupted slot (wrong feature -> guaranteed pose-LM outlier)
+    cams, slots = np.nonzero(m.kf_pt[kf] >= 0)
+    order = np.argsort(slots)  # deterministic
+    cams, slots = cams[order][:16], slots[order][:16]
+    assert len(cams) == 16
+    K = m.kf_pt.shape[2]
+    triples = []
+    for i, (c, s) in enumerate(zip(cams, slots)):
+        p = int(m.kf_pt[kf, c, s])
+        s_q = int(s) if i % 2 == 0 else int((s + 37) % K)   # corrupt half
+        triples.append((p, int(c), s_q))
+
+    def run_reloc(second_chance: bool) -> bool:
+        tr.cfg.reloc_second_chance = second_chance
+        tr.cur_feats = feats
+        tr.cur_pt = np.full_like(m.kf_pt[kf], -1)
+        tr.cur_outlier = np.zeros(tr.cur_pt.shape, bool)
+        tr.cur_mt = m.kf_pose[kf].copy()
+        tr.reloc_candidates_fn = lambda f: [kf]
+        tr.reloc_bow_match_fn = lambda k, f: triples if k == kf else []
+        try:
+            return tr._relocalize()
+        finally:
+            tr.cfg.reloc_second_chance = True
+            tr.reloc_candidates_fn = None
+            tr.reloc_bow_match_fn = None
+
+    assert not run_reloc(second_chance=False), \
+        "corrupted half-set should defeat the single-pass fit"
+    assert run_reloc(second_chance=True), \
+        "widened-window projection round should recover"

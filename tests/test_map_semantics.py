@@ -122,7 +122,8 @@ class TestKeyFrameCullingScale:
         from multicol_slam_tpu.utils import config_io
 
         rig, _ = config_io.load_mcs("/root/reference/Examples/Lafida")
-        n_pt, n_kf = 40, 5
+        # maxNrObs=5 other observers (cLocalMapping.cpp:522) -> need 6 KFs
+        n_pt, n_kf = 40, 6
         m = MapStore(capacity_pts=n_pt + 8, capacity_kfs=n_kf + 1,
                      n_cams=3, k_per_cam=n_pt)
 
@@ -159,3 +160,72 @@ class TestKeyFrameCullingScale:
         mapper._cull_keyframes(0)
         assert m.kf_valid[1], \
             "KF whose points are only seen coarsely elsewhere must survive"
+
+
+class TestPoolGrowth:
+    """Pools grow instead of raising MemoryError mid-track (the
+    reference's map is an unbounded pointer set, cMap.h:42-89)."""
+
+    def test_point_pool_grows_and_forwarding_survives(self):
+        m = MapStore(capacity_pts=8, capacity_kfs=2, n_cams=1, k_per_cam=64)
+        m.alloc_keyframe(np.zeros(6), None, 0)
+        m.alloc_keyframe(np.zeros(6), None, 1)
+        first = m.alloc_points(6)
+        for i, p in enumerate(first):
+            m.add_observation(int(p), 0, 0, i)
+            m.add_observation(int(p), 1, 0, i + 8)
+        m.replace_point(int(first[0]), int(first[1]))
+        # allocation beyond capacity must grow, not raise
+        more = m.alloc_points(30)
+        assert m.capacity_pts >= 36
+        assert len(more) == 30 and m.pt_valid[more].all()
+        # forwarding set up before the growth still resolves
+        resolved = m.resolve_points(np.asarray([int(first[0])]))
+        assert resolved[0] == int(first[1])
+        # new tail ids forward to themselves
+        assert (m.pt_forward[more] == more).all()
+        # and covisibility bookkeeping survived intact
+        assert m.covisibility_weights(0) == brute_covis(m, 0)
+
+    def test_keyframe_pool_grows(self):
+        m = MapStore(capacity_pts=8, capacity_kfs=2, n_cams=2, k_per_cam=4)
+        for k in range(9):
+            assert m.alloc_keyframe(np.zeros(6), None, k) == k
+        assert m.capacity_kfs >= 9
+        assert m.kf_pt.shape == (m.capacity_kfs, 2, 4)
+        assert (m.kf_pt[2:] == -1).all()
+
+    def test_long_run_allocation_never_fails(self):
+        """2000 rounds of alloc/cull churn on tiny initial capacities:
+        the map must degrade (grow) instead of dying (VERDICT r2 #4)."""
+        rng = np.random.default_rng(0)
+        m = MapStore(capacity_pts=64, capacity_kfs=4, n_cams=1,
+                     k_per_cam=32)
+        live: list[int] = []
+        for step in range(2000):
+            kf = m.alloc_keyframe(np.zeros(6), None, step) \
+                if step % 50 == 0 else None
+            ids = m.alloc_points(8)
+            live.extend(int(p) for p in ids)
+            if len(live) > 200:
+                for p in live[:100]:
+                    m.remove_point(p)
+                live = live[100:]
+        assert m.n_points() == len(live)
+
+
+class TestBatchedDistinctiveDescriptor:
+    def test_batch_matches_single(self):
+        from multicol_slam_tpu import runtime
+        rng = np.random.default_rng(3)
+        packed = []
+        offsets = [0]
+        for _ in range(17):
+            o = int(rng.integers(1, 9))
+            packed.append(rng.integers(0, 2 ** 32, (o, 8), dtype=np.uint32))
+            offsets.append(offsets[-1] + o)
+        table = np.concatenate(packed, 0)
+        best = runtime.distinctive_descriptors_batch(
+            table, np.asarray(offsets, np.int32))
+        for i, seg in enumerate(packed):
+            assert best[i] == runtime.distinctive_descriptor(seg)

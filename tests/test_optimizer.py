@@ -74,7 +74,7 @@ class TestPoseOptimization:
 
         mt0 = mt_true + rng.standard_normal(6) * np.array(
             [0.01, 0.01, 0.01, 0.05, 0.05, 0.05])
-        mt, inlier, n_in = opt.pose_optimization(
+        mt, inlier, n_in, _ = opt.pose_optimization(
             rig, jnp.asarray(mt0), obs, jnp.asarray(X))
         np.testing.assert_allclose(np.asarray(mt), mt_true, atol=1e-6)
         assert int(n_in) == len(obs_list)
@@ -93,7 +93,7 @@ class TestPoseOptimization:
         obs = obs._replace(uv=jnp.asarray(uv))
 
         mt0 = mt_true + np.array([0.005, -0.005, 0.005, 0.03, 0.03, -0.03])
-        mt, inlier, n_in = opt.pose_optimization(
+        mt, inlier, n_in, _ = opt.pose_optimization(
             rig, jnp.asarray(mt0), obs, jnp.asarray(X))
         # pose still accurate despite outliers
         np.testing.assert_allclose(np.asarray(mt)[3:], mt_true[3:], atol=0.02)
@@ -109,7 +109,7 @@ class TestPoseOptimization:
         mt_true = np.zeros(6)
         obs_list = project_valid(rig, mt_true, X)
         obs = build_pose_obs(obs_list, pad_to=len(obs_list) + 64)  # padded
-        mt, _, n_in = opt.pose_optimization(
+        mt, _, n_in, _ = opt.pose_optimization(
             rig, jnp.asarray(mt_true + 0.01), obs, jnp.asarray(X))
         np.testing.assert_allclose(np.asarray(mt), mt_true, atol=1e-6)
         assert int(n_in) == len(obs_list)

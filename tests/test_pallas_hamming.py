@@ -109,3 +109,51 @@ def test_fuse_candidates_fused_matches_xla():
             a, b = ref[c, p], got[c, p]
             assert a >= 0 and b >= 0, (c, p, a, b)
             assert d[c][p, a] == d[c][p, b], (c, p, a, b)
+
+
+def test_fused_masked_matches_reference():
+    """Masked (mdBRIEF) streaming kernel vs the XLA masked path
+    (DescriptorDistance64Masked, cORBmatcher.cpp:2455-2476)."""
+    import contextlib
+    from jax.experimental.pallas import tpu as pltpu
+    from multicol_slam_tpu.ops.pallas import hamming_nn
+
+    rng = np.random.default_rng(7)
+    N, M = 256, 512
+    q = jnp.asarray(rng.integers(0, 2 ** 32, (N, 8), dtype=np.uint32))
+    qm = jnp.asarray(rng.integers(0, 2 ** 32, (N, 8), dtype=np.uint32))
+    db = jnp.asarray(rng.integers(0, 2 ** 32, (M, 8), dtype=np.uint32))
+    dbm = jnp.asarray(rng.integers(0, 2 ** 32, (M, 8), dtype=np.uint32))
+    gate = jnp.asarray(rng.random((N, M)) < 0.7)
+
+    dist = hm.hamming_matrix_masked(q, db, qm, dbm)
+    r_idx, r_best, r_second = hm.masked_argmin2(dist, gate)
+    r_idx = np.asarray(jnp.where(r_best >= hm.INVALID, -1, r_idx))
+
+    ctx = (pltpu.force_tpu_interpret_mode()
+           if jax.default_backend() != "tpu" else contextlib.nullcontext())
+    with ctx:
+        idx, best, second = hamming_nn.fused_hamming_nn_masked(
+            q, qm, db, dbm, gate)
+
+    np.testing.assert_array_equal(np.asarray(best), np.asarray(r_best))
+    np.testing.assert_array_equal(np.asarray(second), np.asarray(r_second))
+    matched = r_idx >= 0
+    got = np.asarray(idx)
+    assert (got[matched] >= 0).all()
+    d = np.asarray(dist)
+    np.testing.assert_array_equal(
+        d[np.arange(N)[matched], got[matched]], np.asarray(r_best)[matched])
+
+
+def test_masked_fused_exact_vs_integer_reference():
+    """End-to-end bit parity of the masked GEMM formulation vs the exact
+    integer XOR+popcount reference on random masked descriptors."""
+    rng = np.random.default_rng(11)
+    a = jnp.asarray(rng.integers(0, 2 ** 32, (64, 8), dtype=np.uint32))
+    b = jnp.asarray(rng.integers(0, 2 ** 32, (96, 8), dtype=np.uint32))
+    ma = jnp.asarray(rng.integers(0, 2 ** 32, (64, 8), dtype=np.uint32))
+    mb = jnp.asarray(rng.integers(0, 2 ** 32, (96, 8), dtype=np.uint32))
+    np.testing.assert_array_equal(
+        np.asarray(hm.hamming_matrix_masked(a, b, ma, mb)),
+        np.asarray(hm.hamming_matrix_masked_exact(a, b, ma, mb)))
