@@ -181,6 +181,12 @@ def bench_full_system(n_frames=60):
             # cOptimizer.cpp:88-92); fixed budget is 20
             lm_iters_median=(round(float(np.median(lm_it)), 1)
                              if lm_it else -1),
+            # device dispatches per frame (fused WORKING path target: 2 —
+            # extract+motion-track, local-map-track; each synchronous
+            # dispatch pays the tunnel RTT on a remote accelerator)
+            dispatches_median=(round(float(np.median(
+                slam.tracker.dispatches_per_frame)), 1)
+                if slam.tracker.dispatches_per_frame else -1),
             # steady-state rate (1/median frame time): robust to the
             # occasional cold jit bucket the timed pass can still hit
             # when its map evolution crosses a bucket boundary the warm

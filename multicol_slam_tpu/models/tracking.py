@@ -135,11 +135,10 @@ def frustum_check(rig: Rig, mt_min: jax.Array, X: jax.Array,
     return uv, ok, level, view_cos
 
 
-@functools.partial(jax.jit, static_argnames=("params", "th"))
-def motion_track_step(rig: Rig, mt_pred: jax.Array, last_pts: jax.Array,
-                      last_has: jax.Array, cur: Features, last: Features,
-                      cur_has_pt: jax.Array, params, th: float):
-    """TrackWithMotionModel fused into ONE dispatch: project the last
+def _motion_track_core(rig: Rig, mt_pred: jax.Array, last_pts: jax.Array,
+                       last_has: jax.Array, cur: Features, last: Features,
+                       cur_has_pt: jax.Array, params, th: float):
+    """TrackWithMotionModel as one traced computation: project the last
     frame's landmarks at the predicted pose, projection-gated NN match
     into the current frame, then pose-only LM over the matches
     (cTracking.cpp:790-832 + cOptimizer.cpp:259-458). Fusing the three
@@ -170,6 +169,34 @@ def motion_track_step(rig: Rig, mt_pred: jax.Array, last_pts: jax.Array,
     mt, inlier, n_in, n_it = opt.pose_optimization(
         rig, mt_pred, obs, last_pts.reshape(-1, 3))
     return match, mt, inlier.reshape(C, K), n_in, jnp.sum(got), n_it
+
+
+motion_track_step = functools.partial(jax.jit, static_argnames=(
+    "params", "th"))(_motion_track_core)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("extract_fn", "params", "th"))
+def extract_motion_track_step(extract_fn, rig: Rig, images: jax.Array,
+                              mt_pred: jax.Array, last_pts: jax.Array,
+                              last_has: jax.Array, last: Features,
+                              params, th: float):
+    """WORKING-state front half in ONE dispatch: feature extraction
+    (cMultiFrame ctor, cMultiFrame.cpp:92-216) fused with the whole of
+    TrackWithMotionModel. The extractor's Features feed matching
+    directly on-device; the host receives the new Features (kept
+    device-resident) plus the small association/pose outputs in a single
+    transfer. With local-map tracking this puts the steady-state WORKING
+    path at two device dispatches per frame instead of three — through a
+    remote-TPU tunnel each saved synchronous dispatch is a full RTT.
+
+    The current frame has no prior associations at this point in the
+    state machine (cur_pt is reset before tracking), so the matcher
+    occupancy mask is all-free."""
+    cur = extract_fn(images)
+    out = _motion_track_core(rig, mt_pred, last_pts, last_has, cur, last,
+                             jnp.zeros_like(cur.valid), params, th=th)
+    return (cur,) + tuple(out)
 
 
 @functools.partial(jax.jit,
@@ -268,6 +295,11 @@ class Tracker:
         # pose-LM iterations actually run per optimization (gain-ratio
         # early stop, cOptimizer.cpp:88-92): observability for bench
         self.lm_iters: list[int] = []
+        # device dispatches issued per frame (each synchronous dispatch
+        # pays the tunnel RTT on a remote accelerator; the fused WORKING
+        # path targets 2: extract+motion-track, local-map-track)
+        self.dispatches_per_frame: list[int] = []
+        self._dispatch_n = 0
         # per-stage timings (cTracking.h:119-121 timingFeatureExtraction /
         # timingInitalPoseEst / timingTrackLocalMap)
         from ..utils.timing import StageTimers
@@ -306,18 +338,34 @@ class Tracker:
         estimated M_t (4x4) or None while not tracking."""
         self.frame_id += 1
         C, K = self.map.kf_pt.shape[1], self.map.kf_pt.shape[2]
+        self._dispatch_n = 0
 
-        with self.timers.time("feature_extraction"):
-            if self.state in (TrackState.NO_IMAGES_YET,
-                              TrackState.NOT_INITIALIZED,
-                              TrackState.INITIALIZING):
-                feats = self.extract_init(images)
-            else:
-                feats = self.extract(images)
-            jax.block_until_ready(feats.desc)
-        self.cur_feats = feats
         self.cur_pt = np.full((C, K), -1, np.int32)
         self.cur_outlier = np.zeros((C, K), bool)
+
+        # WORKING + motion model: extraction is FUSED into the motion
+        # tracking dispatch (extract_motion_track_step) — decide before
+        # extracting. The gather below only touches LAST-frame host
+        # state, so it is free to run before the current frame exists.
+        motion_in = None
+        if (self.state == TrackState.WORKING and not self.force_reloc
+                and self.velocity is not None and self.cfg.use_motion_model
+                and self.frame_id >= self.last_reloc_frame + 2):
+            pts, has = self._gather_last_slot_points()
+            if has.sum() >= 20:
+                motion_in = (pts, has)
+
+        if motion_in is None:
+            with self.timers.time("feature_extraction"):
+                self._dispatch_n += 1
+                if self.state in (TrackState.NO_IMAGES_YET,
+                                  TrackState.NOT_INITIALIZED,
+                                  TrackState.INITIALIZING):
+                    feats = self.extract_init(images)
+                else:
+                    feats = self.extract(images)
+                jax.block_until_ready(feats.desc)
+            self.cur_feats = feats
 
         if self.state == TrackState.NO_IMAGES_YET:
             self.state = TrackState.NOT_INITIALIZED
@@ -330,9 +378,8 @@ class Tracker:
             ok = False
             with self.timers.time("initial_pose_estimation"):
                 if self.state == TrackState.WORKING and not self.force_reloc:
-                    if (self.velocity is not None and self.cfg.use_motion_model
-                            and self.frame_id >= self.last_reloc_frame + 2):
-                        ok = self._track_with_motion_model()
+                    if motion_in is not None:
+                        ok = self._track_with_motion_model(motion_in, images)
                     if not ok:
                         ok = self._track_previous_frame()
                 else:
@@ -363,6 +410,7 @@ class Tracker:
                     self.reset()
                     return None
 
+        self.dispatches_per_frame.append(self._dispatch_n)
         # roll frame state
         self.last_feats = self.cur_feats
         self.last_pt = self.cur_pt
@@ -466,23 +514,36 @@ class Tracker:
         alive[has] = self.map.pt_valid[ids]
         return pts, alive
 
-    def _track_with_motion_model(self) -> bool:
-        """cTracking::TrackWithMotionModel (:790-832), fused: projection
-        + matching + pose LM run as ONE device dispatch
-        (motion_track_step); the host only applies the returned
-        associations and inlier flags to its bookkeeping."""
+    def _track_with_motion_model(self, gathered=None, images=None) -> bool:
+        """cTracking::TrackWithMotionModel (:790-832), fused: feature
+        extraction + projection + matching + pose LM run as ONE device
+        dispatch (extract_motion_track_step) when ``images`` is given;
+        the host only applies the returned associations and inlier flags
+        to its bookkeeping. The returned Features stay device-resident
+        for the local-map step and keyframe creation."""
         M_last = se3_np.cayley2hom(self.last_mt)
         M_pred = M_last @ self.velocity
         mt_pred = se3_np.hom2cayley(M_pred)
 
-        pts, has = self._gather_last_slot_points()
-        if has.sum() < 20:
-            return False
-        out = motion_track_step(
-            self.rig, jnp.asarray(mt_pred), jnp.asarray(pts),
-            jnp.asarray(has), self.cur_feats, self.last_feats,
-            jnp.asarray(self.cur_pt >= 0), self.params,
-            th=self.cfg.motion_th)
+        if gathered is None:
+            gathered = self._gather_last_slot_points()
+            if gathered[1].sum() < 20:
+                return False
+        pts, has = gathered
+        self._dispatch_n += 1
+        if images is not None:
+            out = extract_motion_track_step(
+                self.extract, self.rig, images, jnp.asarray(mt_pred),
+                jnp.asarray(pts), jnp.asarray(has), self.last_feats,
+                self.params, th=self.cfg.motion_th)
+            self.cur_feats = out[0]    # device-resident, NOT transferred
+            out = out[1:]
+        else:
+            out = motion_track_step(
+                self.rig, jnp.asarray(mt_pred), jnp.asarray(pts),
+                jnp.asarray(has), self.cur_feats, self.last_feats,
+                jnp.asarray(self.cur_pt >= 0), self.params,
+                th=self.cfg.motion_th)
         # ONE host transfer for all outputs: through a remote-TPU
         # tunnel every separate blocking fetch pays the dispatch RTT
         match, mt, inlier, n_in, n_matches, n_it = jax.device_get(out)
@@ -512,6 +573,7 @@ class Tracker:
         pts, has = self._gather_last_slot_points()
         if has.sum() < 10:
             return False
+        self._dispatch_n += 1
         match = matcher.window_search(
             self.last_feats, self.cur_feats, jnp.asarray(has), self.params,
             window=200.0, nn_ratio=0.9)
@@ -521,6 +583,7 @@ class Tracker:
             # second round with a larger window (the reference's
             # TrackPreviousFrame retries with widened search,
             # cTracking.cpp:735-760)
+            self._dispatch_n += 1
             match = np.asarray(matcher.window_search(
                 self.last_feats, self.cur_feats, jnp.asarray(has),
                 self.params, window=400.0, nn_ratio=0.95))
@@ -565,6 +628,7 @@ class Tracker:
             uv=jnp.asarray(uv), kf=jnp.zeros(cap, jnp.int32),
             cam=jnp.asarray(cams), pt=jnp.arange(cap, dtype=jnp.int32),
             inv_sigma2=jnp.asarray(inv_sigma2), valid=jnp.asarray(valid))
+        self._dispatch_n += 1
         mt, inlier, n_in, n_it = opt.pose_optimization(
             self.rig, jnp.asarray(np.asarray(mt_init, np.float64)), obs,
             jnp.asarray(X))
@@ -659,6 +723,7 @@ class Tracker:
         cand_ok = np.zeros(cap, bool)
         cand_ok[:P] = ~np.isin(local_pts, self.cur_pt[slot_has])
 
+        self._dispatch_n += 1
         out = local_map_track_step(
             self.rig, jnp.asarray(self.cur_mt), jnp.asarray(X),
             jnp.asarray(normal), jnp.asarray(mind), jnp.asarray(maxd),
