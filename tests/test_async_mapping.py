@@ -16,12 +16,17 @@ CALIB_DIR = "/root/reference/Examples/Lafida"
 
 
 def test_async_mapping_tracks():
-    settings = config_io.SlamSettings(n_features=250, n_levels=4, fps=25.0)
-    slam = MultiColSLAM(CALIB_DIR, settings=settings, capacity_pts=20000,
+    from _sysutil import STEP, fast_rig, fast_settings, production_dtype
+    with production_dtype():
+        _run_async(fast_rig(), fast_settings(), STEP)
+
+
+def _run_async(rig, settings, step):
+    slam = MultiColSLAM(settings=settings, rig=rig, capacity_pts=20000,
                         capacity_kfs=64, async_mapping=True,
                         enable_loop_closing=False)
     render = synthetic.make_renderer(slam.rig)
-    gt = synthetic.lateral_trajectory(24, step=0.045)
+    gt = synthetic.lateral_trajectory(24, step=step)
     states = []
     for t in range(24):
         slam.track(render(jnp.asarray(gt[t], jnp.float32)), t / 25.0)

@@ -21,21 +21,24 @@ from multicol_slam_tpu.utils import config_io, synthetic
 
 CALIB_DIR = "/root/reference/Examples/Lafida"
 N_LEVELS = 4
-N_FEATURES = 250
+N_FEATURES = 300          # shared system-test budget (_sysutil)
 
 
 @pytest.fixture(scope="module")
 def setup():
-    rig, _ = config_io.load_mcs(CALIB_DIR, dtype=np.float32)
+    from _sysutil import fast_rig
+    rig = fast_rig()          # half-res production shape (see _sysutil)
+    w = int(float(rig.cams.width[0]))
+    h = int(float(rig.cams.height[0]))
     masks = []
     for c in range(3):
         cam = jax.tree.map(lambda x: x[c], rig.cams)
         masks.append(make_extraction_masks(float(cam.u0), float(cam.v0),
-                                           754, 480, N_LEVELS, 1.2))
+                                           w, h, N_LEVELS, 1.2))
     masks_lvl = [np.stack([masks[c][l] for c in range(3)])
                  for l in range(N_LEVELS)]
     cfg = ext.ExtractorConfig(n_features=N_FEATURES, n_levels=N_LEVELS)
-    extract = ext.make_extractor(cfg, rig.cams, masks_lvl, (480, 754))
+    extract = ext.make_extractor(cfg, rig.cams, masks_lvl, (h, w))
     render = synthetic.make_renderer(rig)
     return rig, extract, render
 
@@ -50,6 +53,12 @@ def wall_points_for_features(rig, M_t, feats):
 
 
 def test_track_sequence(setup):
+    from _sysutil import production_dtype
+    with production_dtype():
+        _track_sequence(setup)
+
+
+def _track_sequence(setup):
     rig, extract, render = setup
     n_frames = 8
     # realistic per-frame motion: the first 8 frames of a 100-frame arc

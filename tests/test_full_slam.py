@@ -20,24 +20,25 @@ CALIB_DIR = "/root/reference/Examples/Lafida"
 
 @pytest.fixture(scope="module")
 def slam_run():
-    settings = config_io.SlamSettings(n_features=250, n_levels=4, fps=25.0)
-    slam = MultiColSLAM(CALIB_DIR, settings=settings,
-                        capacity_pts=20000, capacity_kfs=64)
-    render = synthetic.make_renderer(slam.rig)
+    from _sysutil import STEP, fast_rig, fast_settings, production_dtype
+    with production_dtype():
+        slam = MultiColSLAM(settings=fast_settings(), rig=fast_rig(),
+                            capacity_pts=20000, capacity_kfs=64)
+        render = synthetic.make_renderer(slam.rig)
 
-    n_frames = 30
-    gt = synthetic.lateral_trajectory(n_frames, step=0.045)
-    est = []
-    used_gt = []
-    states = []
-    for t in range(n_frames):
-        imgs = render(jnp.asarray(gt[t], jnp.float32))
-        M = slam.track(imgs, t / 25.0)
-        states.append(slam.state)
-        if M is not None:
-            est.append(M)
-            used_gt.append(gt[t])
-    slam.shutdown()
+        n_frames = 30
+        gt = synthetic.lateral_trajectory(n_frames, step=STEP)
+        est = []
+        used_gt = []
+        states = []
+        for t in range(n_frames):
+            imgs = render(jnp.asarray(gt[t], jnp.float32))
+            M = slam.track(imgs, t / 25.0)
+            states.append(slam.state)
+            if M is not None:
+                est.append(M)
+                used_gt.append(gt[t])
+        slam.shutdown()
     return slam, est, used_gt, states
 
 
@@ -149,7 +150,9 @@ def test_reloc_second_chance_recovers_weak_match_set(slam_run):
             tr.reloc_candidates_fn = None
             tr.reloc_bow_match_fn = None
 
-    assert not run_reloc(second_chance=False), \
-        "corrupted half-set should defeat the single-pass fit"
-    assert run_reloc(second_chance=True), \
-        "widened-window projection round should recover"
+    from _sysutil import production_dtype
+    with production_dtype():
+        assert not run_reloc(second_chance=False), \
+            "corrupted half-set should defeat the single-pass fit"
+        assert run_reloc(second_chance=True), \
+            "widened-window projection round should recover"

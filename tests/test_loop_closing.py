@@ -22,13 +22,15 @@ CALIB_DIR = "/root/reference/Examples/Lafida"
 def base_system():
     """Run the SLAM front-end briefly to get a real map with real
     features (loop closer disabled so we can drive it manually)."""
-    settings = config_io.SlamSettings(n_features=250, n_levels=4, fps=25.0)
-    slam = MultiColSLAM(CALIB_DIR, settings=settings, capacity_pts=20000,
-                        capacity_kfs=64, enable_loop_closing=False)
-    render = synthetic.make_renderer(slam.rig)
-    gt = synthetic.lateral_trajectory(40, step=0.05)
-    for t in range(40):
-        slam.track(render(jnp.asarray(gt[t], jnp.float32)), t / 25.0)
+    from _sysutil import STEP, fast_rig, fast_settings, production_dtype
+    with production_dtype():
+        slam = MultiColSLAM(settings=fast_settings(), rig=fast_rig(),
+                            capacity_pts=20000,
+                            capacity_kfs=64, enable_loop_closing=False)
+        render = synthetic.make_renderer(slam.rig)
+        gt = synthetic.lateral_trajectory(40, step=STEP)
+        for t in range(40):
+            slam.track(render(jnp.asarray(gt[t], jnp.float32)), t / 25.0)
     assert slam.map.n_keyframes() >= 3
     return slam
 
@@ -205,6 +207,10 @@ class TestPostLoopGlobalBA:
         closer.global_ba_iters = 6
 
         kfs = m.keyframe_ids().tolist()
+        # land the map AT the global-BA optimum first: the front-end
+        # leaves points at the LOCAL BA optimum (different fixed sets),
+        # so the repair target must be the global optimum itself
+        closer._global_ba(kfs[0])
         pose_snap = {k: m.kf_pose[k].copy() for k in kfs}
         pt_ids = np.nonzero(m.pt_valid)[0]
         pos_snap = m.pt_pos[pt_ids].copy()

@@ -13,11 +13,17 @@ CALIB_DIR = "/root/reference/Examples/Lafida"
 
 @pytest.fixture(scope="module")
 def run_state():
-    settings = config_io.SlamSettings(n_features=250, n_levels=4, fps=25.0)
-    slam = MultiColSLAM(CALIB_DIR, settings=settings, capacity_pts=20000,
+    from _sysutil import STEP, fast_rig, fast_settings, production_dtype
+    with production_dtype():
+        return _make_run_state(fast_rig(), fast_settings(), STEP)
+
+
+def _make_run_state(rig, settings, step):
+    slam = MultiColSLAM(settings=settings, rig=rig,
+                        capacity_pts=20000,
                         capacity_kfs=64, enable_loop_closing=False)
     render = synthetic.make_renderer(slam.rig)
-    gt = synthetic.lateral_trajectory(24, step=0.045)
+    gt = synthetic.lateral_trajectory(24, step=step)
     imgs_last = None
     for t in range(24):
         imgs_last = render(jnp.asarray(gt[t], jnp.float32))
@@ -50,12 +56,19 @@ def test_save_load_roundtrip(tmp_path, run_state):
 
 def test_resume_tracking_from_checkpoint(tmp_path, run_state):
     """A map loaded from disk supports relocalization + tracking."""
+    from _sysutil import fast_rig, fast_settings, production_dtype
     slam, render, gt = run_state
     p = str(tmp_path / "map2.npz")
     checkpoint.save_map(p, slam.map)
 
-    settings = config_io.SlamSettings(n_features=250, n_levels=4, fps=25.0)
-    slam2 = MultiColSLAM(CALIB_DIR, settings=settings, capacity_pts=20000,
+    with production_dtype():
+        _resume_and_track(tmp_path, p, render, gt)
+
+
+def _resume_and_track(tmp_path, p, render, gt):
+    from _sysutil import fast_rig, fast_settings
+    slam2 = MultiColSLAM(settings=fast_settings(), rig=fast_rig(),
+                         capacity_pts=20000,
                          capacity_kfs=64, enable_loop_closing=False)
     m2, _ = checkpoint.load_map(p)
     slam2.map = m2
@@ -97,9 +110,11 @@ def test_live_viewer_loop(tmp_path, run_state):
     import os
     import time
     slam, render, gt = run_state
+    from _sysutil import production_dtype
     viewer = slam.attach_viewer(str(tmp_path), period_s=0.05)
     try:
-        slam.track(render(jnp.asarray(gt[23], jnp.float32)), 99.0)
+        with production_dtype():
+            slam.track(render(jnp.asarray(gt[23], jnp.float32)), 99.0)
         # wait for BOTH publishers: refreshes that happen before track()
         # sets last_frame legitimately draw only the map, so counting
         # refreshes alone races with the tracker under CPU contention
