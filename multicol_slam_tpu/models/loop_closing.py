@@ -118,7 +118,14 @@ class LoopCloser:
         C, K = self.map.kf_pt.shape[1:3]
         desc = jnp.reshape(f.desc, (-1, f.desc.shape[-1]))
         valid = jnp.reshape(f.valid, (-1,))
-        words, nodes = transform_words(self.voc, desc, valid)
+        # score at LEAF resolution (sharp place ranking) but gate
+        # SearchByBoW at DEPTH-1 nodes (~k groups): the vocabulary is
+        # self-trained on one multi-frame, so deep-node quantization is
+        # unstable across the viewpoint change a loop must bridge —
+        # measured on the organic episode, depth-2 gating collapses the
+        # kf<->candidate BoW pairs from ~90 to <15 and no loop can fire
+        words, nodes = transform_words(self.voc, desc, valid,
+                                       levelsup=self.voc.levels - 1)
         self.kf_words[kf] = np.asarray(words)
         self.kf_nodes[kf] = np.asarray(nodes)
         return self.kf_words[kf], self.kf_nodes[kf]
@@ -163,6 +170,24 @@ class LoopCloser:
         _dbg(f"[loop] kf={kf} min_score={min_score:.4f} "
              f"excl={len(connected)} cands={cands} "
              f"groups={[(len(g), c) for g, c in self.consistent_groups]}")
+        if os.environ.get("MCSLAM_DEBUG"):
+            scores = sorted(
+                ((c, bow_score_l1(bow, self.db.kf_bow[c]))
+                 for c in self.db.kf_bow
+                 if c != kf and c not in connected),
+                key=lambda cs: -cs[1])[:5]
+            _dbg(f"[loop]   top-nonconnected-scores="
+                 f"{[(c, round(s, 3)) for c, s in scores]}")
+            oldest = sorted(self.db.kf_bow)[:4]
+            mypts = set(int(p) for p in m.kf_pt[kf].ravel() if p >= 0)
+
+            def _shared(c):
+                theirs = set(int(p) for p in m.kf_pt[c].ravel() if p >= 0)
+                return len(mypts & theirs)
+            _dbg("[loop]   oldest-scores=" + str(
+                [(c, round(bow_score_l1(bow, self.db.kf_bow[c]), 3),
+                  f"C{_shared(c)}" if c in connected else "-")
+                 for c in oldest]))
         if not cands:
             self.consistent_groups = []
             return []
@@ -243,7 +268,8 @@ class LoopCloser:
         from ..ops import hamming as hm
         desc2 = jnp.reshape(feats.desc, (-1, feats.desc.shape[-1]))
         valid2 = jnp.reshape(feats.valid, (-1,))
-        _, nodes2 = transform_words(self.voc, desc2, valid2)
+        _, nodes2 = transform_words(self.voc, desc2, valid2,
+                                    levelsup=self.voc.levels - 1)
         d1 = np.asarray(f1.desc).reshape(-1, f1.desc.shape[-1])
         has1 = (m.kf_pt[kf] >= 0).reshape(-1)
         dist = hm.hamming_matrix(jnp.asarray(d1), desc2)
@@ -281,7 +307,11 @@ class LoopCloser:
         # no-op correction in the RANSAC, diluting the real loop signal
         # carried by (new landmark, old landmark) pairs
         pairs = [p for p in pairs if p[0] != p[1]]
-        _dbg(f"[loop] sim3 kf={kf} cand={cand}: {len(pairs)} bow pairs")
+        if os.environ.get("MCSLAM_DEBUG"):
+            n1 = int((self.map.kf_pt[kf] >= 0).sum())
+            n2 = int((self.map.kf_pt[cand] >= 0).sum())
+            _dbg(f"[loop] sim3 kf={kf} cand={cand}: {len(pairs)} bow "
+                 f"pairs (landmark slots {n1} vs {n2})")
         if len(pairs) < MIN_BOW_MATCHES:
             return False
         p1 = [p[0] for p in pairs]

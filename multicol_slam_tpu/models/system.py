@@ -177,12 +177,25 @@ class MultiColSLAM:
         from .loop_closing import LoopCloser
         from . import vocabulary as vocab_mod
         if self._vocabulary_path:
-            voc = vocab_mod.load_vocabulary(self._vocabulary_path)
+            # DBoW2 OpenCV-YAML (the reference's shipped vocabulary,
+            # cSystem.cpp:60-63) or our own npz format, by extension
+            if self._vocabulary_path.endswith((".yml", ".yaml")):
+                voc = vocab_mod.load_dbow2_yaml(self._vocabulary_path)
+            else:
+                voc = vocab_mod.load_vocabulary(self._vocabulary_path)
         else:
             f = self.map.kf_features[kf]
             desc = np.asarray(f.desc).reshape(-1, f.desc.shape[-1])
             valid = np.asarray(f.valid).reshape(-1)
-            voc = vocab_mod.train_vocabulary(desc[valid], k=8, levels=3)
+            # k=10 x 4 levels = 10^4 leaves, scaled-down from DBoW2's
+            # k=10 x 6 of the reference vocabulary (cSystem.cpp:60-63).
+            # Resolution matters for PLACE DISCRIMINATION: with a coarse
+            # tree (512 words) every ~900-descriptor multi-frame fills
+            # most of the word space and all pairwise L1 scores flatten
+            # to ~0.6 +- 0.04 regardless of place; at 10^4 words
+            # same-place pairs score ~0.10 above different-place pairs
+            # and DetectLoop's ranking actually ranks places.
+            voc = vocab_mod.train_vocabulary(desc[valid], k=10, levels=4)
         # the multi-camera rig is metric, so Sim3 scale is observable:
         # hold it in OptimizeSim3 AND the essential graph (the
         # reference's vertex type defines exactly this gate but never

@@ -31,8 +31,18 @@ def _lattice(seed: int = 7) -> np.ndarray:
     return rng.uniform(40.0, 220.0, (LATTICE, LATTICE, LATTICE)).astype(np.float32)
 
 
-def _texture3d(pts: jax.Array, lat: jax.Array) -> jax.Array:
-    """Trilinear 3-D value noise at world points (..., 3) -> (...,)."""
+def _texture3d(pts: jax.Array, lat: jax.Array,
+               place_texture: bool = False) -> jax.Array:
+    """Trilinear 3-D value noise at world points (..., 3) -> (...,).
+
+    ``place_texture=True`` adds a PLACE-DISTINCTIVE layer: a very coarse
+    style field modulates the local pattern (contrast sign, step gating,
+    brightness) so different regions of the world produce different
+    descriptor statistics. The default noise is statistically identical
+    everywhere — real enough for tracking, but useless for BoW place
+    recognition (every view quantizes to the same word histogram);
+    loop-closure tests need appearance that actually identifies WHERE
+    you are, like real rooms do."""
 
     def octave(p, freq):
         q = (p / (2 * ROOM_HALF) + 0.5) * freq % (LATTICE - 1)
@@ -56,8 +66,27 @@ def _texture3d(pts: jax.Array, lat: jax.Array) -> jax.Array:
     # survive threshold 20 like real indoor texture)
     fine = octave(pts, 97.0)
     steps = jnp.where(fine > 130.0, 60.0, -60.0)
-    return jnp.clip(0.45 * octave(pts, 11.0) + 0.35 * octave(pts, 53.0)
-                    + 0.2 * fine + steps * 0.5 + 30.0, 0.0, 255.0)
+    base = (0.45 * octave(pts, 11.0) + 0.35 * octave(pts, 53.0)
+            + 0.2 * fine + 30.0)
+    if not place_texture:
+        return jnp.clip(base + steps * 0.5, 0.0, 255.0)
+    # place-identity style field (~1 m cells): switches the fine
+    # (descriptor-scale) structure between two distinct frequencies,
+    # flips the step-layer contrast, gates it on/off, and shifts
+    # brightness per region — local descriptor constellations then
+    # genuinely identify WHERE a view is
+    style = octave(pts, 5.0)
+    gate = octave(pts, 7.0)
+    fine_b = octave(pts, 61.0)
+    pick = style > 130.0
+    fine2 = jnp.where(pick, fine, fine_b)
+    steps2 = jnp.where(fine2 > 130.0, 60.0, -60.0)
+    sign = jnp.where(pick, 1.0, -1.0)
+    on = jnp.where(gate > 110.0, 1.0, 0.35)
+    base2 = (0.45 * octave(pts, 11.0) + 0.35 * octave(pts, 53.0)
+             + 0.2 * fine2 + 30.0)
+    return jnp.clip(base2 + sign * on * steps2 * 0.5
+                    + 0.35 * (style - 130.0), 0.0, 255.0)
 
 
 def _ray_box_exit(origin: jax.Array, direction: jax.Array,
@@ -74,7 +103,8 @@ def _ray_box_exit(origin: jax.Array, direction: jax.Array,
 
 
 def make_renderer(rig: Rig, dtype=jnp.float32, room_half=None,
-                  door_wall: dict | list[dict] | None = None):
+                  door_wall: dict | list[dict] | None = None,
+                  place_texture: bool = False):
     """Returns render(M_t) -> (n_cams, H, W) float32 images in [0, 255].
 
     Per-camera pixel rays are precomputed once (camera intrinsics are
@@ -131,7 +161,7 @@ def make_renderer(rig: Rig, dtype=jnp.float32, room_half=None,
                                         & (jnp.abs(py - cy) < dy))
             t = jnp.where(solid & (t_wall < t), t_wall, t)
         hits = o + t[..., None] * rays_w
-        img = _texture3d(hits, jnp.asarray(lat))
+        img = _texture3d(hits, jnp.asarray(lat), place_texture)
         return jnp.clip(img, 0.0, 255.0)
 
     rays_dev = jax.device_put(rays_cam)
@@ -254,6 +284,51 @@ def baffle_revisit_trajectory(n_frames: int) -> np.ndarray:
         [-0.3, -1.4], [0.3, -1.7], [0.5, -2.2], [0.0, -2.5],
         [-0.6, -2.1], [-0.4, -1.6], [0.1, -1.5], [0.4, -1.9],
         [0.1, -2.3], [-0.4, -2.1],
+    ])
+    seg = np.linalg.norm(np.diff(wps, axis=0), axis=1)
+    cum = np.concatenate([[0], np.cumsum(seg)])
+    s = np.linspace(0, cum[-1], n_frames)
+    x = np.interp(s, cum, wps[:, 0])
+    z = np.interp(s, cum, wps[:, 1])
+    out = np.zeros((n_frames, 4, 4))
+    for i in range(n_frames):
+        out[i] = np.eye(4)
+        out[i][:3, 3] = [x[i], 0.0, z[i]]
+    return out
+
+
+def baffle_revisit_trajectory_short(n_frames: int) -> np.ndarray:
+    """CI-budget variant of :func:`baffle_revisit_trajectory`: the same
+    baffle world, ~19 m of path walked at a brisker pace so the episode
+    fits in ~112 frames. The opening is a full LAP of room A: the
+    revisited era must hold MANY keyframes spread over the room —
+    DetectLoop excludes every keyframe sharing even one landmark with
+    the query (GetConnectedKeyFrames semantics), and a couple of
+    long-lived doorway landmarks always bridge the eras, so a sparse
+    4-keyframe era gets wholly excluded while a 10-keyframe lap keeps
+    unconnected members available as candidates. The revisit retraces
+    the lap so the candidates score like near-duplicates."""
+    corridor_out = [
+        [-0.9, -0.9], [-0.9, -0.3], [-0.85, 0.1], [-0.4, 0.42],
+        [0.4, 0.42], [0.85, 0.7], [0.9, 1.3],
+    ]
+    lap = [
+        [0.0, -2.2], [0.6, -2.05], [0.85, -1.5], [0.35, -1.15],
+        [-0.45, -1.3], [-0.85, -1.85], [-0.35, -2.25],
+    ]
+    wps = np.array([
+        # room A: a full lap (parallax for initialization + a spread of
+        # era-A keyframe poses), then approach door 1
+        *lap,
+        [-0.2, -1.5],
+        *corridor_out,
+        # brief room B dip (out of room A's sight for the covisibility
+        # break; the drift pulse lands here)
+        [0.4, 1.8], [-0.2, 1.85],
+        *corridor_out[::-1],
+        # room A re-tour: retrace the lap (reverse order, same places)
+        [-0.5, -1.3], [0.35, -1.15], [0.85, -1.5], [0.6, -2.05],
+        [0.0, -2.2], [-0.35, -2.25], [-0.85, -1.85],
     ])
     seg = np.linalg.norm(np.diff(wps, axis=0), axis=1)
     cum = np.concatenate([[0], np.cumsum(seg)])
