@@ -183,7 +183,17 @@ class LoopCloser:
 
             def _shared(c):
                 theirs = set(int(p) for p in m.kf_pt[c].ravel() if p >= 0)
-                return len(mypts & theirs)
+                both = mypts & theirs
+                if both and len(both) <= 8:
+                    for p in sorted(both):
+                        obs = m.pt_obs.get(p, [])
+                        kfs = sorted({o[0] for o in obs})
+                        pos = np.round(m.pt_pos[p], 2)
+                        _dbg(f"[loop]     bridge {c}<->{kf}: pt {p} "
+                             f"at {pos.tolist()} "
+                             f"obs_kfs={kfs[:4]}..{kfs[-4:]} "
+                             f"n={len(obs)}")
+                return len(both)
             _dbg("[loop]   oldest-scores=" + str(
                 [(c, round(bow_score_l1(bow, self.db.kf_bow[c]), 3),
                   f"C{_shared(c)}" if c in connected else "-")

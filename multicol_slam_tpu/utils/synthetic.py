@@ -117,6 +117,20 @@ def make_renderer(rig: Rig, dtype=jnp.float32, room_half=None,
     OFFSET doors form a sightline baffle — rooms either side share no
     landmarks at all (true broken covisibility for loop-closure tests;
     a single centered door leaks sightlines through the opening).
+
+    A dict with an ``x`` key is instead a solid FIN normal to x:
+    {x, z_lo, z_hi} spanning the full y extent. A fin across the
+    corridor of a double-door baffle blocks the diagonal rays that
+    thread BOTH door openings — without it, strips of the far room's
+    outer walls are visible from deep in the near room, and those
+    always-visible surfaces breed landmarks observed by every keyframe
+    of every era, permanently bridging covisibility across the loop.
+
+    Interior walls sample the texture offset by +-0.04 m along the wall
+    normal by APPROACH SIDE: the walls are infinitely thin, so without
+    the offset both faces render the same 3-D texture slab and a
+    feature on one face matches its mirror image seen from the other
+    room — the same cross-era covisibility bridge in disguise.
     """
     h = int(float(rig.cams.height[0]))
     w = int(float(rig.cams.width[0]))
@@ -143,7 +157,30 @@ def make_renderer(rig: Rig, dtype=jnp.float32, room_half=None,
         t = _ray_box_exit(o, rays_w, room_half)
         walls = door_wall if isinstance(door_wall, (list, tuple)) \
             else ([door_wall] if door_wall else [])
+        # per-pixel texture-sample offset along the winning wall's
+        # normal, signed by approach side (see docstring)
+        bias = jnp.zeros_like(rays_w)
         for wall in walls:
+            if "x" in wall:
+                # solid fin normal to x spanning [z_lo, z_hi]; full y,
+                # or with a |y| < y_pass passage aperture
+                wx = wall["x"]
+                zlo, zhi = wall.get("z_lo", 0.0), wall.get("z_hi", 0.8)
+                t_f = (wx - o[..., 0]) / jnp.where(
+                    jnp.abs(rays_w[..., 0]) < 1e-9, 1e-9, rays_w[..., 0])
+                pz = o[..., 2] + t_f * rays_w[..., 2]
+                solid = (t_f > 1e-4) & (pz >= zlo) & (pz <= zhi)
+                if "y_pass" in wall:
+                    pyf = o[..., 1] + t_f * rays_w[..., 1]
+                    solid &= jnp.abs(pyf) >= wall["y_pass"]
+                dxr = rays_w[..., 0]
+                won = solid & (t_f < t)
+                t = jnp.where(won, t_f, t)
+                off = jnp.stack([0.04 * jnp.sign(dxr),
+                                 jnp.zeros_like(dxr),
+                                 jnp.zeros_like(dxr)], -1)
+                bias = jnp.where(won[..., None], off, bias)
+                continue
             # interior occluding wall at z = wz with a door opening —
             # rooms whose keyframes share no landmarks except through
             # the doorway (enables organic loop closures)
@@ -159,8 +196,12 @@ def make_renderer(rig: Rig, dtype=jnp.float32, room_half=None,
             py = o[..., 1] + t_wall * rays_w[..., 1]
             solid = (t_wall > 1e-4) & ~((jnp.abs(px - cx) < dx)
                                         & (jnp.abs(py - cy) < dy))
-            t = jnp.where(solid & (t_wall < t), t_wall, t)
-        hits = o + t[..., None] * rays_w
+            won = solid & (t_wall < t)
+            t = jnp.where(won, t_wall, t)
+            off = jnp.stack([jnp.zeros_like(dz), jnp.zeros_like(dz),
+                             0.04 * jnp.sign(dz)], -1)
+            bias = jnp.where(won[..., None], off, bias)
+        hits = o + t[..., None] * rays_w + bias
         img = _texture3d(hits, jnp.asarray(lat), place_texture)
         return jnp.clip(img, 0.0, 255.0)
 
@@ -248,6 +289,14 @@ def two_room_revisit_trajectory(n_frames: int, depth: float = 1.6,
 # leave no straight sightline between room A (z < 0) and room B
 # (z > 0.8), so revisiting room A is a genuine loop-closure event.
 BAFFLE_ROOM_HALF = (2.2, 2.2, 3.6)
+# two offset-door walls. A corridor fin (dict(x=..., z_lo, z_hi
+# [, y_pass])) can additionally block the diagonal rays that thread
+# both door openings, but measured across several configurations the
+# fin's passage slot is a visual pinch the tracker cannot thread at
+# tour pace (the fin edge sweeps the whole near field in a few
+# frames), so the baffle default stays fin-less; the thin walls
+# instead render side-dependent texture (see make_renderer) so at
+# least their two faces cannot masquerade as one surface.
 BAFFLE_WALLS = (
     dict(z=0.0, door_half_x=0.5, door_half_y=1.2, door_cx=-0.9),
     dict(z=0.8, door_half_x=0.5, door_half_y=1.2, door_cx=0.9),
@@ -323,8 +372,10 @@ def baffle_revisit_trajectory_short(n_frames: int) -> np.ndarray:
         [-0.2, -1.5],
         *corridor_out,
         # brief room B dip (out of room A's sight for the covisibility
-        # break; the drift pulse lands here)
-        [0.4, 1.8], [-0.2, 1.85],
+        # break; the drift pulse lands here — deep enough that room-B
+        # tracking has stable medium-range support while it absorbs
+        # the pulse)
+        [0.35, 2.0], [-0.3, 2.05],
         *corridor_out[::-1],
         # room A re-tour: retrace the lap (reverse order, same places)
         [-0.5, -1.3], [0.35, -1.15], [0.85, -1.5], [0.6, -2.05],
