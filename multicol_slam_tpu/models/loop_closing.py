@@ -96,6 +96,24 @@ class LoopCloser:
         self.consistent_groups.clear()
         self.last_loop_kf = -MIN_KFS_BETWEEN_LOOPS
 
+    def set_vocabulary(self, voc: Vocabulary):
+        """Swap in a (re)trained vocabulary and rebuild every piece of
+        place-recognition state derived from the old word space: BoW
+        caches and the inverted file are recomputed for all keyframes
+        currently in the database. Used by the corpus retrain — the
+        reference ships a vocabulary trained offline on a large corpus
+        (cSystem.cpp:60-63); our self-bootstrapping system starts from
+        one frame and upgrades once enough keyframes exist."""
+        self.voc = voc
+        self.kf_words.clear()
+        self.kf_nodes.clear()
+        kfs = list(self.db.kf_bow)
+        self.db.clear()
+        for kf in kfs:
+            if self.map.kf_valid[kf] and self.map.kf_features[kf] is not None:
+                words, _ = self._bow_of_kf(kf)
+                self.db.add(kf, bow_vector(self.voc, words))
+
     def forget_keyframe(self, kf: int):
         """A culled keyframe must leave the place-recognition state
         (cMultiKeyFrame::SetBadFlag erases itself from the keyframe
@@ -428,8 +446,19 @@ class LoopCloser:
                 slot = int(match[c, i])
                 p1 = int(m.kf_pt[kf, c, slot])
                 p2 = int(cand_pts[i])
-                if p1 >= 0 and m.pt_valid[p1] and (p1, p2) not in have:
-                    out.append((p1, p2, c, slot, c, slot))
+                if p1 < 0 or not m.pt_valid[p1] or (p1, p2) in have:
+                    continue
+                # the reverse Sim3 edge is measured at p2's OWN
+                # observation in the candidate keyframe — the reference
+                # looks up GetIndexInKeyFrame(pKF2)
+                # (cOptimizerLoopStuff.cpp:128); the kf-side (cam, slot)
+                # indexes an unrelated candidate feature and would feed
+                # the optimizer a garbage reverse residual
+                obs2 = next(((c2, s2) for k2, c2, s2
+                             in m.pt_obs.get(p2, ()) if k2 == cand), None)
+                if obs2 is None:
+                    continue
+                out.append((p1, p2, c, slot, obs2[0], obs2[1]))
         return out
 
     def _count_neighborhood_support(self, kf, cand, S12: Sim3) -> int:

@@ -55,12 +55,18 @@ class MultiColSLAM:
         w = int(float(self.rig.cams.width[0]))
         h = int(float(self.rig.cams.height[0]))
 
-        # extraction masks at pyramid sizes
+        # extraction masks at pyramid sizes — the fisheye circle only for
+        # cameras whose calibration sets mirrorMask (cSystem.cpp:164-171)
         masks = []
         for c in range(C):
-            masks.append(make_extraction_masks(
-                float(self.rig.cams.u0[c]), float(self.rig.cams.v0[c]),
-                w, h, s.n_levels, s.scale_factor))
+            if float(np.asarray(self.rig.cams.mirror).reshape(-1)[c]) > 0.5:
+                masks.append(make_extraction_masks(
+                    float(self.rig.cams.u0[c]), float(self.rig.cams.v0[c]),
+                    w, h, s.n_levels, s.scale_factor))
+            else:
+                from ..ops.pyramid import level_sizes
+                masks.append([np.full(sz, 255, np.uint8) for sz in
+                              level_sizes(h, w, s.n_levels, s.scale_factor)])
         masks_lvl = [np.stack([m[l] for m in masks]) for l in range(s.n_levels)]
 
         # extractor.useAgast + fastAgastType -> detector mask
@@ -109,6 +115,13 @@ class MultiColSLAM:
         self._loop_params = params
         self._enable_loops = enable_loop_closing
         self._vocabulary_path = vocabulary_path
+        # corpus accumulated for the vocabulary retrain: the bootstrap
+        # vocabulary is trained from ONE multi-frame (most words empty,
+        # idf from a single image); once VOCAB_RETRAIN_KFS keyframes
+        # exist the tree is retrained on all of them with per-document
+        # idf and every BoW cache is rebuilt (LoopCloser.set_vocabulary)
+        self._voc_corpus: list[np.ndarray] = []
+        self._voc_retrained = False
 
         self.async_mapping = async_mapping
         self._kf_queue: "queue.Queue[int]" = queue.Queue()
@@ -187,8 +200,9 @@ class MultiColSLAM:
             f = self.map.kf_features[kf]
             desc = np.asarray(f.desc).reshape(-1, f.desc.shape[-1])
             valid = np.asarray(f.valid).reshape(-1)
-            # k=10 x 4 levels = 10^4 leaves, scaled-down from DBoW2's
-            # k=10 x 6 of the reference vocabulary (cSystem.cpp:60-63).
+            # k=10 x 4 levels = 10^4 leaves, scaled-down from the
+            # reference's shipped small_orb_omni_voc_9_6.yml (k=9, L=6,
+            # ~531k words; cSystem.cpp:60-63).
             # Resolution matters for PLACE DISCRIMINATION: with a coarse
             # tree (512 words) every ~900-descriptor multi-frame fills
             # most of the word space and all pairwise L1 scores flatten
@@ -251,11 +265,45 @@ class MultiColSLAM:
         self._process_kf(kf0)
         self._process_kf(kf1)
 
+    # keyframes of corpus before the vocabulary retrain (>= 20 so the
+    # idf weights come from a spread of views, not one image)
+    VOCAB_RETRAIN_KFS = 20
+
+    def _maybe_retrain_vocabulary(self, kf: int):
+        """Accumulate each keyframe's descriptors; at VOCAB_RETRAIN_KFS
+        keyframes retrain the vocabulary on the whole corpus with
+        per-document idf and rebuild the loop closer's BoW state. The
+        reference's vocabulary is trained offline on a large corpus
+        (cSystem.cpp:60-63) — a tree quantized from one frame cannot
+        rank places reliably across the viewpoint change a loop must
+        bridge."""
+        if self._vocabulary_path or self._voc_retrained:
+            return
+        f = self.map.kf_features[kf]
+        if f is None:
+            return
+        desc = np.asarray(f.desc).reshape(-1, f.desc.shape[-1])
+        valid = np.asarray(f.valid).reshape(-1)
+        self._voc_corpus.append(desc[valid])
+        if len(self._voc_corpus) < self.VOCAB_RETRAIN_KFS:
+            return
+        from . import vocabulary as vocab_mod
+        corpus = np.concatenate(self._voc_corpus, 0)
+        doc_ids = np.concatenate([
+            np.full(len(d), i, np.int32)
+            for i, d in enumerate(self._voc_corpus)])
+        voc = vocab_mod.train_vocabulary(corpus, k=10, levels=4,
+                                         doc_ids=doc_ids)
+        self.loop_closer.set_vocabulary(voc)
+        self._voc_retrained = True
+        self._voc_corpus.clear()
+
     def _process_kf(self, kf: int):
         self.mapper.process_keyframe(kf)
         if self._enable_loops:
             self._ensure_loop_closer(kf)
             if self.loop_closer is not None:
+                self._maybe_retrain_vocabulary(kf)
                 self.loop_closer.insert_keyframe(kf)
 
     def _enqueue_kf(self, kf: int):

@@ -118,14 +118,18 @@ def frustum_check(rig: Rig, mt_min: jax.Array, X: jax.Array,
     # the level-0 mask is analytic — a circle of radius v0+22 centered at
     # (col=u0, row=v0) (CreateMirrorMask, cam_model_omni.cpp:181-220) —
     # so candidates predicted into the fisheye corner dead zones are
-    # rejected, not just a rectangular border
+    # rejected, not just a rectangular border. The circle applies only
+    # to cameras whose calibration sets mirrorMask (cSystem.cpp:164-171
+    # loads the flag per camera); other cameras gate on bounds alone.
     ur = jnp.round(uv[..., 0])
     vr = jnp.round(uv[..., 1])
     cx = rig.cams.u0.astype(jnp.float32)[:, None]
     cy = rig.cams.v0.astype(jnp.float32)[:, None]
     r = cy + 22.0
+    masked = (rig.cams.mirror > 0.5).reshape(-1, 1)
+    in_circle = (ur - cx) ** 2 + (vr - cy) ** 2 < r * r
     in_img = ((ur > 0) & (ur < w[:, None]) & (vr > 0) & (vr < h[:, None])
-              & ((ur - cx) ** 2 + (vr - cy) ** 2 < r * r))
+              & (in_circle | ~masked))
     ok = ((Xc[..., 2] > 0) & in_img
           & (dist >= min_dist[None, :]) & (dist <= max_dist[None, :])
           & (view_cos > 0.5))
@@ -347,8 +351,15 @@ class Tracker:
         # tracking dispatch (extract_motion_track_step) — decide before
         # extracting. The gather below only touches LAST-frame host
         # state, so it is free to run before the current frame exists.
+        # force_reloc is SNAPSHOT once per frame: with async_mapping the
+        # loop closer's thread can set it between this decision and the
+        # branch below; a mid-frame flip is honored on the NEXT frame —
+        # using the live flag in both places would route the reloc
+        # branch at the previous frame's features (extraction is fused
+        # into the motion dispatch and would not have run).
+        forced = self.force_reloc
         motion_in = None
-        if (self.state == TrackState.WORKING and not self.force_reloc
+        if (self.state == TrackState.WORKING and not forced
                 and self.velocity is not None and self.cfg.use_motion_model
                 and self.frame_id >= self.last_reloc_frame + 2):
             pts, has = self._gather_last_slot_points()
@@ -377,14 +388,15 @@ class Tracker:
         else:
             ok = False
             with self.timers.time("initial_pose_estimation"):
-                if self.state == TrackState.WORKING and not self.force_reloc:
+                if self.state == TrackState.WORKING and not forced:
                     if motion_in is not None:
                         ok = self._track_with_motion_model(motion_in, images)
                     if not ok:
                         ok = self._track_previous_frame()
                 else:
                     ok = self._relocalize()
-                    if ok:
+                    if ok and forced == self.force_reloc:
+                        # clear only if no NEW request landed mid-frame
                         self.force_reloc = False
 
             if ok:
@@ -405,8 +417,11 @@ class Tracker:
             else:
                 self.state = TrackState.LOST
                 self.velocity = None
-                # reset if the map is young (cTracking.cpp:317-324)
+                # reset if the map is young (cTracking.cpp:317-324);
+                # record this frame's dispatch count first so per-frame
+                # eval vectors stay index-aligned up to the reset
                 if self.map.n_keyframes() <= 3:
+                    self.dispatches_per_frame.append(self._dispatch_n)
                     self.reset()
                     return None
 
@@ -931,11 +946,14 @@ class Tracker:
     def reset(self):
         """cTracking::Reset (:1327-1375). ``on_reset`` (wired by the
         System) propagates the reset to the mapper + loop closer, like
-        the reference's RequestReset fan-out."""
+        the reference's RequestReset fan-out. ALL eval state is cleared
+        (the reference clears its eval vectors on reset,
+        cTracking.cpp:1371-1373) so metrics never straddle a reset."""
         self.map.clear()
         self.state = TrackState.NOT_INITIALIZED
         self.velocity = None
         self.init_ref_feats = None
+        self.last_feats = None
         self.last_kf_id = -1
         self.force_reloc = False
         self.cur_pt = np.full_like(self.cur_pt, -1) \
@@ -947,5 +965,7 @@ class Tracker:
         self.inlier_ratios.clear()
         self.n_tracked.clear()
         self.lm_iters.clear()
+        self.dispatches_per_frame.clear()
+        self.timers.clear()
         if getattr(self, "on_reset", None):
             self.on_reset()

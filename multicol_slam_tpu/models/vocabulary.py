@@ -63,11 +63,18 @@ def _hamming_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def train_vocabulary(descriptors: np.ndarray, k: int = 10, levels: int = 4,
-                     seed: int = 0, kmeans_iters: int = 8) -> Vocabulary:
+                     seed: int = 0, kmeans_iters: int = 8,
+                     doc_ids: np.ndarray | None = None) -> Vocabulary:
     """Hierarchical binary k-medians (DBoW2 create semantics): split the
     descriptor set recursively into k clusters per node, levels deep;
     centroids are bit-majority means; empty clusters are padded (marked
-    invalid). idf weights from the training set."""
+    invalid). idf weights from the training set.
+
+    ``doc_ids`` (N,) assigns each descriptor to a training document
+    (image); idf is then the DBoW2 definition log(n_docs / n_docs
+    containing the word) (TemplatedVocabulary::setNodeWeights). Without
+    it every descriptor counts as its own document (the single-image
+    bootstrap fallback)."""
     rng = np.random.default_rng(seed)
     W = descriptors.shape[1]
     n_nodes = (k ** (levels + 1) - 1) // (k - 1)
@@ -123,8 +130,16 @@ def train_vocabulary(descriptors: np.ndarray, k: int = 10, levels: int = 4,
     words = np.asarray(transform_words(
         voc_tmp, jnp.asarray(descriptors),
         jnp.ones(len(descriptors), bool))[0])
-    np.add.at(word_counts, words[words >= 0], 1)
-    n_docs = max(len(descriptors), 1)
+    got = words >= 0
+    if doc_ids is None:
+        np.add.at(word_counts, words[got], 1)
+        n_docs = max(len(descriptors), 1)
+    else:
+        doc_ids = np.asarray(doc_ids)
+        # count DOCUMENTS containing each word, not occurrences
+        pairs = np.unique(np.stack([words[got], doc_ids[got]], 1), axis=0)
+        np.add.at(word_counts, pairs[:, 0], 1)
+        n_docs = max(len(np.unique(doc_ids)), 1)
     idf = np.log(n_docs / np.maximum(word_counts, 1)).astype(np.float32)
     idf[word_counts == 0] = 0.0
     return voc_tmp._replace(weights=jnp.asarray(idf))

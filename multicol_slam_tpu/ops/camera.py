@@ -45,6 +45,11 @@ class CameraModel(NamedTuple):
     inv_poly: jax.Array   # (..., INVPOLY_PAD) inverse poly, zero padded
     width: jax.Array      # image width (float, static per camera)
     height: jax.Array     # image height
+    # per-camera mirrorMask flag (Camera.mirrorMask in the calibration,
+    # cSystem.cpp:164-171): 1.0 = fisheye circle applies (frustum gating
+    # + extraction masks use the analytic v0+22 circle), 0.0 = full
+    # image is valid. Float so the pytree stays homogeneous.
+    mirror: jax.Array = np.float32(1.0)
 
     @property
     def inv_affine(self) -> jax.Array:
@@ -74,7 +79,7 @@ class CameraModel(NamedTuple):
 
 
 def make_camera(c, d, e, u0, v0, poly, inv_poly, width, height,
-                dtype=jnp.float32) -> CameraModel:
+                dtype=jnp.float32, mirror: bool = True) -> CameraModel:
     """Build a CameraModel from python/numpy scalars + coefficient lists.
 
     Fields are NUMPY arrays: calibration is static host data; keeping it
@@ -90,6 +95,7 @@ def make_camera(c, d, e, u0, v0, poly, inv_poly, width, height,
     return CameraModel(
         c=arr(c), d=arr(d), e=arr(e), u0=arr(u0), v0=arr(v0),
         poly=arr(p), inv_poly=arr(ip), width=arr(width), height=arr(height),
+        mirror=arr(1.0 if mirror else 0.0),
     )
 
 

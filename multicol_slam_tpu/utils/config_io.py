@@ -106,13 +106,15 @@ def load_interior_orientation(path: str, dtype=np.float32) -> tuple[CameraModel,
     n_inv = int(d["Camera.nrinvpol"])
     poly = [d[f"Camera.a{i}"] for i in range(n_pol)]
     inv_poly = [d[f"Camera.pol{i}"] for i in range(n_inv)]
+    want_mask = bool(int(d.get("Camera.mirrorMask", 0)))
     cam = make_camera(
         c=d["Camera.c"], d=d["Camera.d"], e=d["Camera.e"],
         u0=d["Camera.u0"], v0=d["Camera.v0"],
         poly=poly, inv_poly=inv_poly,
         width=d["Camera.Iw"], height=d["Camera.Ih"], dtype=dtype,
+        mirror=want_mask,
     )
-    return cam, bool(int(d.get("Camera.mirrorMask", 0)))
+    return cam, want_mask
 
 
 def load_mcs(calib_dir: str, dtype=np.float32, n_mask_levels: int = 4):
