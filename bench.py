@@ -1,34 +1,43 @@
 """Benchmark: the honest numbers, on real TPU hardware.
 
-Prints ONE JSON line. The primary metric is the round-1 headline
-(3cam_tracking_fps: the fused extraction + frame-to-frame match +
-pose-LM device pipeline at the real 754x480 Lafida resolution and
-feature budget), measured since round 3 as a DEVICE-TIMED lax.scan over
-the frame batch (one dispatch tracks every frame: pure device
-throughput, immune to host contention — extra.hot_loop_host_fps keeps
-the old host-dispatched number for continuity). Baseline = the
-reference's de-facto bar of 25 fps 3-camera real-time tracking
-(BASELINE.md; Slam_Settings fps=25, mult_col_slam_lafida.cpp:134-143
-paces frames at 1/fps).
+Prints ONE JSON line. The primary metric is the cross-round headline
+3cam_tracking_fps — since round 4 measured through the PRODUCTION
+tracker jaxprs: a lax.scan whose body is exactly the two fused
+dispatches the system issues per WORKING frame (extract_motion_track_
+step + local_map_track_step, tracking.py) against a real map built by
+the system itself, at the real 754x480 Lafida resolution and feature
+budget. Device-timed (one dispatch tracks every frame), so the number
+is pure device throughput — immune to host contention and tunnel RTT.
+Baseline = the reference's de-facto bar of 25 fps 3-camera real-time
+tracking (BASELINE.md; Slam_Settings fps=25,
+mult_col_slam_lafida.cpp:134-143 paces frames at 1/fps).
 
 "extra" carries the FULL honest picture (VERDICT round 1, item 3):
-  system_fps / median_track_ms / stage_ms
+  system_fps / working_frac / ate_m / stage_ms
       — the COMPLETE pipeline (keyframe policy, local mapping incl.
         triangulation + local BA + culling, loop-closer bookkeeping)
-        over a synthetic sequence. NOTE: the tracker synchronizes with
-        the host between stages for map bookkeeping, so through this
-        harness's REMOTE-TPU tunnel each frame pays several
-        dispatch round-trips; dispatch_rtt_ms below is that measured
-        per-call latency floor. On a locally attached chip the same
-        path pays microseconds, not hundreds of ms — compare
-        stage compute (stage_ms on CPU runs) and hot-loop fps, which
-        pipelines dispatches and hides the tunnel.
+        over the synthetic benchmark sequence (bench_trajectory: a
+        deliberate init opening + smooth arc, like the reference's
+        Lafida run starting at frame 25). NOTE: the tracker
+        synchronizes with the host between stages for map bookkeeping,
+        so through this harness's REMOTE-TPU tunnel each frame pays
+        several dispatch round-trips; dispatch_rtt_ms below is that
+        measured per-call latency floor. On a locally attached chip
+        the same path pays microseconds, not hundreds of ms.
   dispatch_rtt_ms       — measured round-trip of a trivial jit call on
                           this backend (the per-dispatch latency floor
                           every host-synchronous stage pays)
-  extract_match_*       — the same extraction+matching kernels timed on
-                          this host's CPU backend vs TPU (the >10x
-                          north star of BASELINE.md)
+  extract_match_*       — extraction+matching timed on this host's CPU
+                          backend vs TPU (the >10x north star of
+                          BASELINE.md). Since round 4 the primary
+                          comparison is DEVICE-TIMED on BOTH backends
+                          (lax.scan over a frame batch — neither side
+                          pays per-dispatch tunnel RTT); the
+                          dispatch-inclusive numbers are kept alongside
+                          (extract_match_*_host_ms).
+  kernel_loop_fps       — the round-1..3 synthetic stand-in hot loop
+                          (ground-truth landmark refresh, no local-map
+                          stage), kept for cross-round continuity
   ba_chi2_ratio         — Schur BA final chi2 / chi2 of the noise-only
                           optimum on a synthetic ground-truth problem
                           (the g2o-parity proxy: g2o converges to the
@@ -117,10 +126,17 @@ def _make_extract_and_frames(n_frames=12, rig=None):
 # (a) full-system fps: the primary metric
 # ---------------------------------------------------------------------------
 
-def bench_full_system(n_frames=60):
+def bench_full_system(n_frames=90):
     """Run the COMPLETE pipeline (keyframes, mapping, BA, loop closer)
     twice over the same synthetic sequence: pass 1 warms every jit
     bucket, pass 2 is timed end to end.
+
+    The sequence is bench_trajectory: a deliberate lateral opening for
+    bootstrap parallax, then the smooth arc — mirroring the reference's
+    own protocol (Lafida evaluation starts at frame 25, after the
+    operator's init motion; Slam_Settings_indoor1.yaml:54-56). On the
+    bare arc initialization needs ~30 frames and the bench measured a
+    system that spent the run initializing (BENCH_r03, VERDICT r3 #1).
 
     Deadline-aware: if the warm pass is eating the budget (cold compile
     cache through a slow tunnel), the sequence is truncated at the last
@@ -135,7 +151,7 @@ def bench_full_system(n_frames=60):
     settings = config_io.SlamSettings(
         n_features=N_FEATURES, n_levels=N_LEVELS, fps=25.0)
 
-    gt = synthetic.smooth_trajectory(n_frames, radius=0.8)
+    gt = synthetic.bench_trajectory(n_frames, radius=0.8)
     # leave at least this much budget for the timed pass + secondaries
     warm_deadline = _remaining() * 0.55
 
@@ -180,6 +196,10 @@ def bench_full_system(n_frames=60):
         lm_it = slam.tracker.lm_iters
         return dict(
             system_fps=round(done / total, 2),
+            # fraction of frames that tracked (WORKING + pose returned):
+            # the "is it actually doing SLAM" gate (VERDICT r3 #1 asks
+            # >= 0.9 over >= 60 frames)
+            working_frac=round(len(est) / max(done, 1), 3),
             # pose-LM iterations actually run (gain-ratio early stop,
             # cOptimizer.cpp:88-92); fixed budget is 20
             lm_iters_median=(round(float(np.median(lm_it)), 1)
@@ -323,20 +343,194 @@ def bench_eight_cam():
 
 
 # ---------------------------------------------------------------------------
+# (b2) PRODUCTION tracker throughput: the round-4 headline
+# ---------------------------------------------------------------------------
+
+def bench_production_tracker(n_build=48, snap_at=24, n_scan=20, n_reps=4):
+    """Device-timed throughput of the PRODUCTION WORKING-frame path
+    (VERDICT r3 item 6): a lax.scan whose body calls exactly the two
+    fused dispatches the system issues per WORKING frame —
+    tracking.extract_motion_track_step (extraction + motion-model match
+    + pose LM) and tracking.local_map_track_step (frustum check +
+    local-map match + pose LM) — against a REAL map built by the system
+    itself on the bench trajectory. Unlike the round-1..3 kernel loop
+    (kept as kernel_loop_fps) nothing is synthetic: same jaxprs, same
+    thresholds (motion_th=15, local_map_th=3), same map content.
+
+    Protocol: run the full system for n_build frames (this also warms
+    the system's jit buckets for the later full_system stage), snapshot
+    the tracker's slot associations + pose + velocity at frame snap_at,
+    freeze the final map as the local-map snapshot, then scan the
+    production body over frames snap_at+1..snap_at+n_scan. The scan
+    carries (Features, slot positions, pose, velocity) exactly like the
+    host rolls frame state (tracking.py track()); landmark positions are
+    carried by slot so the device never needs the host's id tables.
+
+    Returns (fps, diag dict). Raises if the build never reaches steady
+    WORKING tracking — the caller falls back to the kernel loop."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from multicol_slam_tpu.models import matcher, tracking
+    from multicol_slam_tpu.models.system import MultiColSLAM
+    from multicol_slam_tpu.ops import geometry as geo
+    from multicol_slam_tpu.utils import config_io, synthetic
+
+    settings = config_io.SlamSettings(
+        n_features=N_FEATURES, n_levels=N_LEVELS, fps=25.0)
+    slam = MultiColSLAM(CALIB, settings=settings,
+                        capacity_pts=30000, capacity_kfs=128)
+    tr = slam.tracker
+    cfg = tr.cfg
+    rig = slam.rig
+    render = synthetic.make_renderer(rig)
+    gt = synthetic.bench_trajectory(n_build + n_scan + 2, radius=0.8)
+    frames = [np.asarray(render(jnp.asarray(gt[t], jnp.float32)))
+              for t in range(n_build + n_scan + 2)]
+
+    snap = None
+    build_deadline = _remaining() * 0.6
+    t_start = time.perf_counter()
+    for t in range(n_build):
+        slam.track(jnp.asarray(frames[t]), t / 25.0)
+        if (t + 1) % 10 == 0:
+            print(f"# bench: production map build frame {t + 1}/{n_build} "
+                  f"({time.perf_counter() - t_start:.0f}s)",
+                  file=sys.stderr, flush=True)
+        if (t == snap_at and tr.state == tracking.TrackState.WORKING
+                and tr.velocity is not None):
+            snap = (tr.cur_pt.copy(), tr.cur_mt.copy(), tr.velocity.copy(),
+                    tr.cur_feats)
+        if snap is not None and t > snap_at \
+                and time.perf_counter() - t_start > build_deadline:
+            break
+    if snap is None:
+        slam.shutdown()
+        raise RuntimeError("production bench: system never reached "
+                           "steady WORKING state at snapshot frame")
+    snap_pt, snap_mt, snap_V, snap_feats = snap
+    m = slam.map
+
+    # freeze the map as the local-map snapshot (on this single-room
+    # bench scene the tracker's covisibility-voted local map IS
+    # essentially the whole map; production pads to the same buckets)
+    ids = np.nonzero(m.pt_valid)[0]
+    P = len(ids)
+    cap = tracking.bucket(P, 256)
+    pad = lambda a, fill=0: np.concatenate(
+        [a, np.full((cap - P,) + a.shape[1:], fill, a.dtype)], 0)
+    X_loc = jnp.asarray(pad(m.pt_pos[ids]))
+    normal = jnp.asarray(pad(m.pt_normal[ids]))
+    mind = jnp.asarray(pad(m.pt_min_dist[ids]))
+    maxd = jnp.asarray(pad(m.pt_max_dist[ids], 1.0))
+    desc = jnp.asarray(pad(m.pt_desc[ids]))
+    dmask = jnp.asarray(pad(m.pt_desc_mask[ids]))
+    cand_ok = jnp.asarray(np.arange(cap) < P)
+
+    # snapshot slot state -> positions in the FINAL map (follow merges)
+    snap_pt = m.resolve_points(snap_pt)
+    C, K = snap_pt.shape
+    has0 = snap_pt >= 0
+    alive = np.zeros((C, K), bool)
+    alive[has0] = m.pt_valid[snap_pt[has0]]
+    slot_X0 = np.zeros((C, K, 3), np.float32)
+    slot_X0[alive] = m.pt_pos[snap_pt[alive]]
+    n_kf, n_pts = m.n_keyframes(), m.n_points()
+    slam.shutdown()
+
+    params = tr.params
+    extract = tr.extract
+
+    def scatter_slots(tgt, got, src_X):
+        """Scatter per-camera: cur slot tgt[k] <- src_X[k] where got[k]
+        (the host's cur_pt[c, match[c, sel]] = last_pt[c, sel] roll,
+        tracking.py _track_with_motion_model)."""
+        def one(t, g, x):
+            t = jnp.where(g, t, K)          # dump misses past the end
+            sx = jnp.zeros((K + 1, 3), jnp.float32).at[t].set(x)
+            sh = jnp.zeros(K + 1, bool).at[t].set(g)
+            return sx[:K], sh[:K]
+        return jax.vmap(one)(tgt, got, src_X)
+
+    def body(carry, img):
+        last_feats, slot_X, slot_has, mt, V = carry
+        M_last = geo.cayley2hom(mt)
+        mt_pred = geo.hom2cayley(M_last @ V)
+        # dispatch 1 of the production WORKING path
+        out = tracking.extract_motion_track_step(
+            extract, rig, img, mt_pred, slot_X, slot_has, last_feats,
+            params, th=cfg.motion_th)
+        cur, match, mt1, inlier, n_in1, n_m, _ = out
+        got = (match >= 0) & inlier & slot_has
+        sX1, sh1 = scatter_slots(jnp.clip(match, 0), got, slot_X)
+        # dispatch 2 of the production WORKING path
+        out2 = tracking.local_map_track_step(
+            rig, mt1, X_loc, normal, mind, maxd, cand_ok, desc, dmask,
+            cur, sh1, sX1, sh1, params, th=cfg.local_map_th,
+            n_levels=cfg.n_levels, scale_factor=cfg.scale_factor)
+        _, match2, mt2, inl_slot, inl_new, n_in2, _ = out2
+        got2 = (match2 >= 0) & inl_new
+        src2 = jnp.broadcast_to(X_loc[None], (C,) + X_loc.shape)
+        sX2, sh2 = scatter_slots(jnp.clip(match2, 0), got2, src2)
+        keep = sh1 & inl_slot
+        nxt_X = jnp.where(keep[..., None], sX1, sX2)
+        nxt_has = keep | sh2
+        M_cur = geo.cayley2hom(mt2)
+        V_new = geo.inv_se3(M_last) @ M_cur
+        return (cur, nxt_X, nxt_has, mt2, V_new), n_in2
+
+    @jax.jit
+    def device_loop(stacked, carry0):
+        return lax.scan(body, carry0, stacked)
+
+    stacked = jnp.stack([jnp.asarray(f)
+                         for f in frames[snap_at + 1:snap_at + 1 + n_scan]])
+    carry0 = (snap_feats, jnp.asarray(slot_X0), jnp.asarray(alive),
+              jnp.asarray(snap_mt, jnp.float32),
+              jnp.asarray(snap_V, jnp.float32))
+    (carry, n_ins) = device_loop(stacked, carry0)
+    jax.block_until_ready(n_ins)
+    n_ins = np.asarray(n_ins)
+    if int((n_ins >= cfg.min_inliers_local).sum()) < int(0.9 * n_scan):
+        raise RuntimeError(
+            f"production bench: scan lost tracking (inliers {n_ins})")
+    t0 = time.time()
+    for _ in range(n_reps):
+        out = device_loop(stacked, carry0)
+    jax.block_until_ready(out[1])
+    fps = round(n_reps * n_scan / (time.time() - t0), 2)
+    return fps, dict(
+        prod_scan_frames=n_scan,
+        prod_inliers_median=int(np.median(n_ins)),
+        prod_map_keyframes=n_kf,
+        prod_map_points=n_pts,
+        prod_local_map_bucket=int(cap))
+
+
+# ---------------------------------------------------------------------------
 # (c) extraction+matching: TPU vs CPU (the >10x north star)
 # ---------------------------------------------------------------------------
 
-def _extract_match_time(n_timed=4):
-    """Median seconds per frame for extraction + frame-to-frame matching
-    on whatever backend this process runs."""
+def _extract_match_time(n_timed=4, n_frames=6, device_timed=True):
+    """Seconds per frame for extraction + frame-to-frame matching on
+    whatever backend this process runs.
+
+    device_timed=True (the round-4 protocol, VERDICT r3 item 5): a
+    lax.scan runs the step for the whole frame batch inside ONE
+    dispatch, so NEITHER backend pays per-dispatch overhead — on this
+    harness's remote-TPU tunnel a host-synchronous dispatch costs ~30ms
+    RTT, which understates the device by an order of magnitude (the
+    recorded r3 number measured tunnel+transfer, not compute).
+    device_timed=False is the r1-3 host-dispatched protocol, kept
+    alongside as extract_match_*_host_ms."""
     import jax
     import jax.numpy as jnp
+    from jax import lax
     from multicol_slam_tpu.models import matcher
 
-    rig, extract, frames, _ = _make_extract_and_frames(n_frames=n_timed + 2)
+    rig, extract, frames, _ = _make_extract_and_frames(n_frames=n_frames)
     params = matcher.MatchParams(desc_bytes=32)
 
-    @jax.jit
     def step(images, last):
         feats = extract(images)
         uv_pred = feats.xy          # stand-in prediction: same-frame coords
@@ -346,42 +540,82 @@ def _extract_match_time(n_timed=4):
             uv_pred, ok, params, th=15.0)
         return feats, m
 
+    jstep = jax.jit(step)
     last = extract(jnp.asarray(frames[0]))
-    last, m = step(jnp.asarray(frames[1]), last)   # compile
+    jax.block_until_ready(last.desc)
+
+    if device_timed:
+        @jax.jit
+        def batch(stacked, last0):
+            def body(last, img):
+                feats, m = step(img, last)
+                return feats, jnp.sum(m >= 0)
+            return lax.scan(body, last0, stacked)
+        stacked = jnp.stack([jnp.asarray(f) for f in frames[1:]])
+        T = stacked.shape[0]
+        out = batch(stacked, last)            # compile + warm
+        jax.block_until_ready(out[1])
+        ts = []
+        for _ in range(n_timed):
+            t0 = time.perf_counter()
+            out = batch(stacked, last)
+            jax.block_until_ready(out[1])
+            ts.append((time.perf_counter() - t0) / T)
+        return float(np.median(ts))
+
+    last, m = jstep(jnp.asarray(frames[1]), last)   # compile
     jax.block_until_ready(m)
     ts = []
     for t in range(2, 2 + n_timed):
+        last, m = jstep(jnp.asarray(frames[t % n_frames]), last)
         t0 = time.perf_counter()
-        last, m = step(jnp.asarray(frames[t]), last)
+        last, m = jstep(jnp.asarray(frames[t % n_frames]), last)
         jax.block_until_ready(m)
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 
 
 def bench_cpu_compare():
-    """Time extraction+matching here (TPU), then re-run this script as a
-    CPU subprocess (platform choice is process-global) for the ratio."""
-    tpu_s = _extract_match_time()
+    """Extraction+matching TPU vs CPU (the >10x north star of
+    BASELINE.md). Primary numbers are DEVICE-TIMED on both backends
+    (lax.scan over the frame batch — one dispatch, no per-frame host
+    round-trips on either side); the host-dispatched numbers are kept
+    alongside for r1-3 continuity. The CPU side runs as a subprocess
+    because the platform choice is process-global."""
+    tpu_s = _extract_match_time(device_timed=True)
+    tpu_host_s = _extract_match_time(n_timed=3, device_timed=False)
     env = dict(os.environ, JAX_PLATFORMS="cpu", MCSLAM_BENCH_CPU_PROBE="1")
+    cpu_s = cpu_host_s = -1.0
     try:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--cpu-probe"],
             env=env, capture_output=True, text=True,
             timeout=max(120.0, min(1800.0, _remaining() - 60)))
-        cpu_s = float(json.loads(out.stdout.strip().splitlines()[-1])["cpu_s"])
-    except Exception:
-        cpu_s = -1.0
+        probe = json.loads(out.stdout.strip().splitlines()[-1])
+        cpu_s = float(probe["cpu_s"])
+        cpu_host_s = float(probe.get("cpu_host_s", -1.0))
+    except Exception as e:
+        print(f"# bench: cpu probe failed: {e!r}", file=sys.stderr,
+              flush=True)
     return dict(
+        extract_match_method="device_timed_scan",
         extract_match_tpu_ms=round(tpu_s * 1e3, 2),
         extract_match_cpu_ms=round(cpu_s * 1e3, 2) if cpu_s > 0 else -1,
         extract_match_speedup_vs_cpu=(
-            round(cpu_s / tpu_s, 2) if cpu_s > 0 else -1))
+            round(cpu_s / tpu_s, 2) if cpu_s > 0 else -1),
+        extract_match_tpu_host_ms=round(tpu_host_s * 1e3, 2),
+        extract_match_cpu_host_ms=(
+            round(cpu_host_s * 1e3, 2) if cpu_host_s > 0 else -1))
 
 
 def cpu_probe():
     import jax
     jax.config.update("jax_platforms", "cpu")
-    print(json.dumps({"cpu_s": _extract_match_time(n_timed=2)}))
+    # device-timed scan (primary) + host-dispatched (continuity); small
+    # rep counts — CPU extraction at full res costs ~2s/frame
+    dev = _extract_match_time(n_timed=1, n_frames=4, device_timed=True)
+    host = _extract_match_time(n_timed=1, n_frames=4, device_timed=False)
+    print(json.dumps({"cpu_s": dev, "cpu_host_s": host}))
 
 
 # ---------------------------------------------------------------------------
@@ -523,17 +757,31 @@ def main():
               file=sys.stderr, flush=True)
         return out
 
-    # host 1-min load BEFORE the run: the hot loop's async dispatch is
+    # host 1-min load BEFORE the run: host-dispatched loops are
     # throttled by host python speed, so on this 1-core box a
-    # concurrent CPU job (e.g. a pytest run) cuts the headline ~3x.
+    # concurrent CPU job (e.g. a pytest run) cuts those numbers ~3x.
     # Recording the load makes a contention-skewed number identifiable.
     extra["host_load1"] = round(os.getloadavg()[0], 2)
-    fps, host_fps = bench_hot_loop()
-    # the host-dispatched variant (round-1/2 continuity; sensitive to
-    # box contention — compare against host_load1)
-    extra["hot_loop_host_fps"] = host_fps
-    # THE headline, printed before anything slow can get this run killed
-    _emit(fps, dict(extra))
+    # insurance headline first (cheap, known-good): the r1-3 synthetic
+    # kernel loop — kept as kernel_loop_fps once the production number
+    # lands (round-2 lesson: a killed run must still leave a JSON line)
+    kfps, khost = bench_hot_loop()
+    extra["kernel_loop_fps"] = kfps
+    extra["kernel_loop_host_fps"] = khost
+    extra["headline_method"] = "kernel_standin"
+    _emit(kfps, dict(extra))
+    # THE round-4 headline: the production tracker jaxprs over a real
+    # map (VERDICT r3 item 6). Falls back to the kernel number if the
+    # build can't reach steady state in this environment.
+    fps = kfps
+    try:
+        fps, diag = bench_production_tracker()
+        extra.update(diag)
+        extra["headline_method"] = "production_tracker_scan"
+        _emit(fps, dict(extra))
+    except Exception as e:
+        print(f"# bench: production headline failed ({e!r}); kernel "
+              f"stand-in kept", file=sys.stderr, flush=True)
     extra.update(stage(bench_dispatch_rtt, 20, "dispatch_rtt"))
     extra.update(stage(bench_chi2_parity, 60, "chi2_parity"))
     extra.update(stage(bench_cpu_compare, 90, "cpu_compare"))

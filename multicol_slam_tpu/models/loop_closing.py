@@ -775,23 +775,14 @@ class LoopCloser:
             self._global_ba(loop_kf)
 
     def _global_ba(self, fixed_kf: int):
-        from . import optimizer as opt
-        from .local_mapping import assemble_ba_problem
-        m = self.map
-        kfs = [int(k) for k in m.keyframe_ids().tolist()]
-        fixed = np.asarray([k == fixed_kf for k in kfs])
-        out = assemble_ba_problem(m, kfs, fixed, self.scale_factor)
-        if out is None:
-            return
-        problem, mt0, X0, pts, _ = out
-        mt_new, X_new, _ = opt.bundle_adjustment(
-            self.rig, jnp.asarray(mt0), jnp.asarray(X0), problem,
-            iters=self.global_ba_iters)
-        mt_new = np.asarray(mt_new)
-        X_new = np.asarray(X_new)
-        for i, k in enumerate(kfs):
-            m.kf_pose[k] = mt_new[i]
-        m.pt_pos[pts] = X_new[:len(pts)].astype(np.float32)
+        """Post-loop global BA through the SHARED routing point
+        (models.global_ba.run_global_ba): on a multi-device attachment
+        the loop-closer's full-map BA shards over the mesh exactly like
+        the System's user-facing one — the loop keyframe is the gauge so
+        the corrected region anchors the map."""
+        from .global_ba import run_global_ba
+        run_global_ba(self.rig, self.map, [fixed_kf], self.scale_factor,
+                      iters=self.global_ba_iters)
 
 
 def _apply_sim3_np(S: Sim3, X: np.ndarray) -> np.ndarray:

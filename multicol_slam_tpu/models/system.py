@@ -391,49 +391,19 @@ class MultiColSLAM:
         (parallel/ba_sharding.make_sharded_ba); single-chip falls back to
         the in-process Schur adjuster. Returns the final robust cost.
         """
-        import jax
-        import jax.numpy as jnp
-        from .local_mapping import assemble_ba_problem
-        from . import optimizer as opt
+        from .global_ba import run_global_ba
 
         m = self.map
         kfs = m.keyframe_ids().tolist()
         if len(kfs) < 2:
             return 0.0
-        fixed_mask = np.zeros(len(kfs), bool)
-        fixed_mask[kfs.index(min(kfs))] = True
-        built = assemble_ba_problem(m, kfs, fixed_mask,
-                                    self.settings.scale_factor)
-        if built is None:
+        cost = run_global_ba(self.rig, m, [min(kfs)],
+                             self.settings.scale_factor, iters=iters)
+        if cost < 0:
             return 0.0
-        problem, mt0, X0, pts, _ = built
-
-        devices = jax.devices()
-        if len(devices) > 1:
-            from jax.sharding import Mesh
-            from ..parallel import ba_sharding
-            mesh = Mesh(np.array(devices), (ba_sharding.OBS_AXIS,))
-            obs = ba_sharding.pad_obs_to_multiple(problem.obs, len(devices))
-            ba = ba_sharding.make_sharded_ba(
-                mesh, self.rig, n_kf=mt0.shape[0], n_pt=X0.shape[0],
-                iters=iters, huber=opt.HUBER_GLOBAL)
-            mt, X, cost = ba(jnp.asarray(mt0), jnp.asarray(X0), obs,
-                             problem.pt_obs, problem.fixed_kf,
-                             problem.fixed_pt)
-            cost = float(cost)
-        else:
-            mt, X, chi2 = opt.bundle_adjustment(
-                self.rig, jnp.asarray(mt0), jnp.asarray(X0), problem,
-                huber=opt.HUBER_GLOBAL, iters=iters)
-            chi2 = np.asarray(chi2)
-            cost = float(chi2[np.asarray(problem.obs.valid)].sum())
-        mt = np.asarray(mt)
-        for i, k in enumerate(kfs):
-            if not fixed_mask[i]:
-                m.kf_pose[k] = mt[i]
-        m.pt_pos[pts] = np.asarray(X, np.float32)[:len(pts)]
         # refresh cached viewing-ray / scale-invariance stats staled by
         # the adjustment (cMapPoint::UpdateNormalAndDepth role)
+        pts = np.nonzero(m.pt_valid)[0]
         m.update_point_stats(np.asarray(pts, np.int64),
                              self.tracker._M_c_np,
                              self.settings.scale_factor,

@@ -85,6 +85,87 @@ def test_sharded_matches_single_device(rig):
     np.testing.assert_allclose(np.asarray(X_s), np.asarray(X_1), atol=1e-10)
 
 
+def _populate_slam_map(rig, n_kf=4, n_pt=60, seed=3, drift=0.004):
+    """A MapStore with real keyframe Features whose xy carry projected
+    observations — the shape assemble_ba_problem consumes — with
+    keyframe poses and points perturbed off the ground truth."""
+    from multicol_slam_tpu.models.extractor import Features
+    from multicol_slam_tpu.models.map import MapStore
+    from multicol_slam_tpu.utils import synthetic
+
+    rng = np.random.default_rng(seed)
+    mt_true, X, uv, kf, cam, pt, valid, _ = synthetic.make_ba_problem(
+        rig, n_kf, n_pt, max_obs_per_pt=4, noise_px=0.3, seed=seed)
+    K = int(valid.sum())
+    C = rig.n_cams
+    k_per_cam = n_pt + 8
+    m = MapStore(capacity_pts=n_pt + 8, capacity_kfs=n_kf + 2,
+                 n_cams=C, k_per_cam=k_per_cam)
+
+    xy = np.zeros((n_kf, C, k_per_cam, 2), np.float32)
+    next_slot = np.zeros((n_kf, C), np.int32)
+    obs_rows = []
+    for i in range(K):
+        s = int(next_slot[kf[i], cam[i]])
+        next_slot[kf[i], cam[i]] += 1
+        xy[kf[i], cam[i], s] = uv[i]
+        obs_rows.append((int(kf[i]), int(cam[i]), s, int(pt[i])))
+
+    mt0 = mt_true + rng.standard_normal(mt_true.shape) * drift
+    mt0[0] = mt_true[0]
+    for k in range(n_kf):
+        feats = Features(
+            xy=jnp.asarray(xy[k]),
+            level=jnp.zeros((C, k_per_cam), jnp.int32),
+            angle=jnp.zeros((C, k_per_cam)),
+            response=jnp.zeros((C, k_per_cam)),
+            ray=jnp.zeros((C, k_per_cam, 3)),
+            desc=jnp.zeros((C, k_per_cam, 8), jnp.uint32),
+            desc_mask=jnp.zeros((C, k_per_cam, 8), jnp.uint32),
+            valid=jnp.asarray(next_slot[k][:, None]
+                              > np.arange(k_per_cam)[None, :]))
+        m.alloc_keyframe(mt0[k], feats, k)
+    ids = m.alloc_points(n_pt)
+    m.pt_pos[ids] = (X + rng.standard_normal(X.shape) * 0.01
+                     ).astype(np.float32)
+    for k, c, s, p in obs_rows:
+        m.add_observation(int(ids[p]), k, c, s)
+    return m, mt_true, X, ids
+
+
+def test_loop_closer_global_ba_routes_sharded(rig, monkeypatch):
+    """VERDICT r3 item 8: the loop closer's post-loop global BA must go
+    through the SHARED multi-chip routing point — on this suite's
+    8-virtual-device backend that means make_sharded_ba — and actually
+    repair a drifted map."""
+    from multicol_slam_tpu.models import loop_closing as lc
+
+    m, mt_true, X, ids = _populate_slam_map(rig)
+    err_before = np.linalg.norm(
+        np.stack([m.kf_pose[k][3:] for k in range(4)]) - mt_true[:, 3:],
+        axis=1)
+
+    calls = {}
+    orig = ba_sharding.make_sharded_ba
+
+    def spy(*a, **k):
+        calls["sharded"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ba_sharding, "make_sharded_ba", spy)
+    closer = lc.LoopCloser(rig, m, None, None, None, global_ba_iters=8)
+    closer._global_ba(0)
+
+    assert jax.device_count() > 1
+    assert calls.get("sharded"), \
+        "loop-closer global BA did not route through make_sharded_ba"
+    err_after = np.linalg.norm(
+        np.stack([m.kf_pose[k][3:] for k in range(4)]) - mt_true[:, 3:],
+        axis=1)
+    assert err_after[1:].mean() < err_before[1:].mean() / 2.0, \
+        f"before {err_before} after {err_after}"
+
+
 def test_full_sharded_lm_matches_bundle_adjustment(rig):
     """The multi-iteration sharded LM (make_sharded_ba) must reproduce
     the single-device bundle_adjustment end-to-end: same lambda schedule,

@@ -11,6 +11,7 @@ CPU with per-frame state prints so the failure mode is visible.
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import numpy as np
@@ -30,7 +31,7 @@ def main(n_frames=40):
     settings = config_io.SlamSettings(n_features=400, n_levels=8, fps=25.0)
     slam = MultiColSLAM(CALIB, settings=settings,
                         capacity_pts=30000, capacity_kfs=128)
-    gt = synthetic.smooth_trajectory(60, radius=0.8)
+    gt = synthetic.bench_trajectory(90, radius=0.8)
     render = synthetic.make_renderer(slam.rig)
     est, used = [], []
     import time
