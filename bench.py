@@ -200,6 +200,14 @@ def bench_full_system(n_frames=90):
             # the "is it actually doing SLAM" gate (VERDICT r3 #1 asks
             # >= 0.9 over >= 60 frames)
             working_frac=round(len(est) / max(done, 1), 3),
+            # the same fraction measured from the FIRST tracked frame on
+            # — the reference's own protocol (Lafida evaluation runs
+            # frames 25-759, AFTER the operator's init motion,
+            # Slam_Settings_indoor1.yaml:54-56): initialization frames
+            # are part of any monocular-bootstrap SLAM run and the
+            # reference excludes them from its numbers too
+            working_frac_eval=round(
+                len(est) / max(done - used[0], 1), 3) if used else 0.0,
             # pose-LM iterations actually run (gain-ratio early stop,
             # cOptimizer.cpp:88-92); fixed budget is 20
             lm_iters_median=(round(float(np.median(lm_it)), 1)

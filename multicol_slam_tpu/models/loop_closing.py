@@ -77,6 +77,7 @@ class LoopCloser:
     # the distribution (long chains, no cross-loop short-circuits).
     global_ba_iters: int = 0
     scale_factor: float = 1.2
+    n_levels: int = 8
 
     def __post_init__(self):
         self.last_loop_kf = -MIN_KFS_BETWEEN_LOOPS
@@ -425,12 +426,18 @@ class LoopCloser:
         P = len(cand_pts)
         pad = lambda a, fill=0: np.concatenate(
             [a, np.full((cap - P,) + a.shape[1:], fill, a.dtype)], 0)
+        # distance gate widened 2x for the S12-projected points (the
+        # estimated transform carries the loop drift) WITHOUT shifting
+        # the predicted octave; descriptor gate is TH_HIGH per the
+        # reference's SearchBySim3 (cORBmatcher.cpp:1869)
         uv, ok, lvl, _ = frustum_check(
             self.rig, jnp.asarray(m.kf_pose[kf]),
             jnp.asarray(pad(Xw.astype(np.float32))),
             jnp.asarray(pad(m.pt_normal[cand_pts])),
-            jnp.asarray(pad(m.pt_min_dist[cand_pts] * 0.5)),
-            jnp.asarray(pad(m.pt_max_dist[cand_pts] * 2.0, 1.0)))
+            jnp.asarray(pad(m.pt_min_dist[cand_pts])),
+            jnp.asarray(pad(m.pt_max_dist[cand_pts], 1.0)),
+            n_levels=self.n_levels, scale_factor=self.scale_factor,
+            dist_slack=2.0)
         ok = np.array(ok)
         ok[:, P:] = False
         f = m.kf_features[kf]
@@ -439,7 +446,8 @@ class LoopCloser:
             f, jnp.asarray(m.kf_pt[kf] >= 0),
             jnp.asarray(pad(m.pt_desc[cand_pts])),
             jnp.asarray(pad(m.pt_desc_mask[cand_pts])),
-            uv, jnp.asarray(ok), lvl, self.params, th=7.5))
+            uv, jnp.asarray(ok), lvl, self.params, th=7.5,
+            loose_desc=True))
         out = []
         for c in range(match.shape[0]):
             for i in np.nonzero(match[c, :P] >= 0)[0]:
@@ -488,8 +496,10 @@ class LoopCloser:
             self.rig, jnp.asarray(m.kf_pose[kf]),
             jnp.asarray(pad(Xw.astype(np.float32))),
             jnp.asarray(pad(m.pt_normal[pts])),
-            jnp.asarray(pad(m.pt_min_dist[pts] * 0.5)),
-            jnp.asarray(pad(m.pt_max_dist[pts] * 2.0, 1.0)))
+            jnp.asarray(pad(m.pt_min_dist[pts])),
+            jnp.asarray(pad(m.pt_max_dist[pts], 1.0)),
+            n_levels=self.n_levels, scale_factor=self.scale_factor,
+            dist_slack=2.0)
         ok = np.array(ok)
         ok[:, P:] = False
         f = m.kf_features[kf]
@@ -498,7 +508,8 @@ class LoopCloser:
             f, jnp.asarray(m.kf_pt[kf] >= 0),
             jnp.asarray(pad(m.pt_desc[pts])),
             jnp.asarray(pad(m.pt_desc_mask[pts])),
-            uv, jnp.asarray(ok), lvl, self.params, th=7.5))
+            uv, jnp.asarray(ok), lvl, self.params, th=7.5,
+            loose_desc=True))
         return int((match[:, :P] >= 0).sum())
 
     def _make_sim3_obs(self, kf1, kf2, pairs, X1, X2) -> sim3_opt.Sim3Obs:

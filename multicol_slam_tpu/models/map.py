@@ -324,11 +324,35 @@ class MapStore:
                 self._covis_link(pt, kf)
 
     def connected_keyframes(self, kf: int) -> list[int]:
-        """ALL keyframes sharing at least one landmark with ``kf``
-        (GetConnectedKeyFrames, cMultiKeyFrame.cpp:214-222) — the
-        loop-candidate exclusion set and the loop consistency groups use
-        every connection, NOT the >=30 covisibility list."""
-        return [k for k in self._covis.get(kf, {}) if self.kf_valid[k]]
+        """The CONNECTION-GRAPH neighbours of ``kf`` (the loop-candidate
+        exclusion set and the loop consistency groups,
+        GetConnectedKeyFrames, cMultiKeyFrame.cpp:215-222).
+
+        The reference's mConnectedKeyFrameWeights is a SNAPSHOT: it is
+        assigned the full >=1-shared-point counter only when ``kf``
+        itself runs UpdateConnections (cMultiKeyFrame.cpp:488), and
+        afterwards grows only through AddConnection calls gated at
+        weight >= th=30 (or the caller's single strongest neighbour,
+        cMultiKeyFrame.cpp:458-473). Our MapStore computes the set LIVE
+        from the covisibility counters, so a literal >=1 filter would
+        also sweep in links created after ``kf``'s processing — and a
+        handful of weak cross-era matches (weight 1..29, picked up when
+        the rig physically revisits a drifted place) would silently
+        exclude the true revisit keyframes from loop candidacy
+        (measured on the organic-loop episode: the >=1-landmark
+        exclusion wholesale-removed era A from the database query and
+        no loop could ever fire). We therefore apply the reference's
+        post-snapshot growth gate uniformly: weight >= 30, falling back
+        to the single strongest neighbour (the ordered-connections rule,
+        cMultiKeyFrame.cpp:452-473)."""
+        w = {k: v for k, v in self.covisibility_weights(kf).items()
+             if self.kf_valid[k]}
+        if not w:
+            return []
+        out = [k for k, v in w.items() if v >= 30]
+        if not out:
+            out = [max(w.items(), key=lambda kv: kv[1])[0]]
+        return out
 
     def covisible_keyframes(self, kf: int, min_weight: int = 30,
                             best_n: int | None = None) -> list[int]:

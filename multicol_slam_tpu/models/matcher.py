@@ -227,19 +227,24 @@ def search_for_triangulation(f1: Features, f1_free: jax.Array,
 # Fuse: project map points into a keyframe, find duplicate observations
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("params", "th"))
+@functools.partial(jax.jit, static_argnames=("params", "th", "loose_desc"))
 def fuse_candidates(feats: Features, has_point: jax.Array,
                     pt_desc: jax.Array, pt_mask: jax.Array,
                     uv_pred: jax.Array, pred_ok: jax.Array,
                     pred_level: jax.Array, params: MatchParams,
-                    th: float = 3.0):
+                    th: float = 3.0, loose_desc: bool = False):
     """Fuse (cORBmatcher.cpp:1265-1420): project candidate points into
     the keyframe; a match against a slot that already HAS a point means
     "merge the two landmarks", a match against a free slot means "add
     observation". Returns (C, P) slot index (-1 none); caller consults
     has_point to decide replace-vs-add (host-side map surgery).
+
+    loose_desc=True accepts up to TH_HIGH instead of TH_LOW — the
+    reference's guided SearchBySim3 gate (cORBmatcher.cpp:1869), used by
+    the loop closer where descriptors straddle the loop's viewpoint gap.
     """
     sf = params.scale_factor
+    desc_th = params.th_high if loose_desc else params.th_low
 
     def per_cam(fd, fm, fxy, flvl, fvalid, uv, ok, plvl):
         dist = _dist_matrix(pt_desc, pt_mask, fd, fm, params.masked)
@@ -250,7 +255,7 @@ def fuse_candidates(feats: Features, has_point: jax.Array,
                 (flvl[None, :] <= (plvl + 1)[:, None])
         gate &= fvalid[None, :] & ok[:, None]
         match, best_d = hm.gated_nn_match(dist, gate,
-                                          max_dist=params.th_low)
+                                          max_dist=desc_th)
         return hm.resolve_duplicate_targets(match, best_d, fd.shape[0])
 
     return jax.vmap(per_cam, in_axes=(0, 0, 0, 0, 0, 0, 0, 0))(
@@ -274,12 +279,12 @@ def pick_fuse_fn(n_candidates: int, params: MatchParams):
     return fuse_candidates
 
 
-@functools.partial(jax.jit, static_argnames=("params", "th"))
+@functools.partial(jax.jit, static_argnames=("params", "th", "loose_desc"))
 def fuse_candidates_fused(feats: Features, has_point: jax.Array,
                           pt_desc: jax.Array, pt_mask: jax.Array,
                           uv_pred: jax.Array, pred_ok: jax.Array,
                           pred_level: jax.Array, params: MatchParams,
-                          th: float = 3.0):
+                          th: float = 3.0, loose_desc: bool = False):
     """fuse_candidates semantics with the distance+argmin computed by
     the streaming Pallas Hamming-NN kernel (ops/pallas/hamming_nn):
     per-camera, the (P, K) f32 distance matrix never materializes in
@@ -290,6 +295,7 @@ def fuse_candidates_fused(feats: Features, has_point: jax.Array,
                                          fused_hamming_nn_masked)
 
     sf = params.scale_factor
+    desc_th = params.th_high if loose_desc else params.th_low
     C, K = feats.desc.shape[:2]
     P = pt_desc.shape[0]
     Kpad = -(-K // 256) * 256
@@ -317,6 +323,6 @@ def fuse_candidates_fused(feats: Features, has_point: jax.Array,
                                                    fd, fm, gate)
         else:
             idx, best, _ = fused_hamming_nn(pt_desc, fd, gate)
-        match = jnp.where(best <= params.th_low, idx, -1)
+        match = jnp.where(best <= desc_th, idx, -1)
         outs.append(hm.resolve_duplicate_targets(match, best, Kpad))
     return jnp.stack(outs)

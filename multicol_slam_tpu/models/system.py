@@ -219,7 +219,9 @@ class MultiColSLAM:
         self.loop_closer = LoopCloser(self.rig, self.map, voc,
                                       KeyFrameDatabase(), self._loop_params,
                                       fix_scale=True,
-                                      fuser=self.mapper)
+                                      fuser=self.mapper,
+                                      scale_factor=self.settings.scale_factor,
+                                      n_levels=self.settings.n_levels)
         self.loop_closer.on_loop = self._after_loop
         # cMultiKeyFrame::SetBadFlag -> KeyFrameDatabase::erase
         self.map.on_kf_removed = self.loop_closer.forget_keyframe

@@ -94,15 +94,25 @@ def project_slots(rig: Rig, mt_min: jax.Array, X: jax.Array):
     return uv, Xc[..., 2] > 0
 
 
-@functools.partial(jax.jit, static_argnames=("n_levels", "scale_factor"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_levels", "scale_factor", "dist_slack"))
 def frustum_check(rig: Rig, mt_min: jax.Array, X: jax.Array,
                   normal: jax.Array, min_dist: jax.Array, max_dist: jax.Array,
-                  n_levels: int = 8, scale_factor: float = 1.2):
+                  n_levels: int = 8, scale_factor: float = 1.2,
+                  dist_slack: float = 1.0):
     """cMultiFrame::isInFrustum per (camera, point) (cMultiFrame.cpp:218-270):
     project into every camera, gate z>0 + image bounds + distance within
     [min, max] + viewing cos > 0.5; predict the octave from distance
     (cMapPoint::PredictScale rule). X: (P, 3). Returns (uv (C,P,2),
-    ok (C,P), level (C,P), view_cos (C,P))."""
+    ok (C,P), level (C,P), view_cos (C,P)).
+
+    dist_slack loosens ONLY the distance-invariance gate (to
+    [min/slack, max*slack]) without perturbing the predicted octave —
+    callers projecting through a drifted/estimated transform (the loop
+    closer's guided SearchBySim3 round) widen the gate this way;
+    scaling max_dist itself would shift the predicted level by
+    log(slack)/log(scale_factor) octaves and starve the level-windowed
+    matchers downstream."""
     M = mt_mc(cayley2hom(mt_min.astype(jnp.float32)), rig.M_c)
     T = inv_se3(M)
     Xc = jnp.einsum("cij,pj->cpi", T[:, :3, :3], X) + T[:, None, :3, 3]
@@ -131,7 +141,8 @@ def frustum_check(rig: Rig, mt_min: jax.Array, X: jax.Array,
     in_img = ((ur > 0) & (ur < w[:, None]) & (vr > 0) & (vr < h[:, None])
               & (in_circle | ~masked))
     ok = ((Xc[..., 2] > 0) & in_img
-          & (dist >= min_dist[None, :]) & (dist <= max_dist[None, :])
+          & (dist >= min_dist[None, :] / dist_slack)
+          & (dist <= max_dist[None, :] * dist_slack)
           & (view_cos > 0.5))
     ratio = jnp.maximum(max_dist[None, :] / jnp.maximum(dist, 1e-9), 1e-9)
     level = jnp.ceil(jnp.log(ratio) / jnp.log(scale_factor)).astype(jnp.int32)
