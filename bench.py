@@ -65,7 +65,7 @@ N_LEVELS, N_FEATURES = 8, 400
 # checks the remaining budget and degrades gracefully, (c) a second,
 # enriched JSON line with the SAME metric is printed at the end — the
 # driver's last-complete-line parse accepts either.
-BUDGET_S = float(os.environ.get("MCSLAM_BENCH_BUDGET_S", 420))
+BUDGET_S = float(os.environ.get("MCSLAM_BENCH_BUDGET_S", 570))
 _T_START = time.monotonic()
 
 
@@ -117,8 +117,15 @@ def _make_extract_and_frames(n_frames=12, rig=None):
     extract = ext.make_extractor(cfg, rig.cams, masks_lvl, (480, 754))
     render = synthetic.make_renderer(rig)
     gt = synthetic.smooth_trajectory(100, radius=0.6)
-    frames = [np.asarray(render(jnp.asarray(gt[t], jnp.float32)))
-              for t in range(n_frames)]
+    # frames stay DEVICE-RESIDENT and render as ONE batched dispatch:
+    # fetching rendered frames to host and re-uploading them costs two
+    # ~4.3MB trips per frame through the device link — through this
+    # harness's remote-TPU tunnel, the device->host direction stalls
+    # for tens of seconds at a time (measured: the 12-frame fetch alone
+    # cost 50..700s run-to-run, dwarfing every compile in the stage) —
+    # and every separate dispatch risks a stall of its own.
+    frames = list(render(jnp.asarray(gt[:n_frames], jnp.float32)))
+    jax.block_until_ready(frames[-1])
     return rig, extract, frames, gt
 
 
@@ -159,15 +166,20 @@ def bench_full_system(n_frames=90):
         slam = MultiColSLAM(CALIB, settings=settings,
                             capacity_pts=30000, capacity_kfs=128)
         render = synthetic.make_renderer(slam.rig)
-        frames = [np.asarray(render(jnp.asarray(gt[t], jnp.float32)))
-                  for t in range(upto)]
+        # device-resident frames, chunk-batched renders: see
+        # _make_extract_and_frames (chunks bound device memory)
+        frames = []
+        for s in range(0, upto, 24):
+            frames.extend(render(jnp.asarray(gt[s:min(s + 24, upto)],
+                                             jnp.float32)))
+        jax.block_until_ready(frames[-1])
         times = []
         est, used = [], []
         done = upto
         t_start = time.perf_counter()
         for t in range(upto):
             t0 = time.perf_counter()
-            M = slam.track(jnp.asarray(frames[t]), t / 25.0)
+            M = slam.track(frames[t], t / 25.0)
             times.append(time.perf_counter() - t0)
             if M is not None:
                 est.append(M)
@@ -330,14 +342,23 @@ def bench_hot_loop(rig=None, n_reps=4):
     jax.block_until_ready(mt_est)
     host_fps = round(n_loops / (time.time() - t0), 2)
 
-    # device-timed loop: scan body reuses frame_step's jaxpr; warm once
+    # device-timed loop: scan body reuses frame_step's jaxpr; warm once.
+    # CACHE-BUSTING: every timed rep perturbs the initial pose by an
+    # epsilon (same shapes -> no recompile; different values -> a real
+    # re-execution). This harness's remote-accelerator client DEDUPES a
+    # repeated computation on identical inputs and returns the cached
+    # buffers instantly — timing identical reps measures the cache, not
+    # the device (measured: "0.00 ms/frame" for the full extraction
+    # scan). The result is fetched (np.asarray), not just awaited.
     stacked = jnp.stack(frames[1:])
     out = device_loop(stacked, f_prev, pts_prev, mt_est)
     jax.block_until_ready(out)
     t0 = time.time()
-    for rep in range(n_reps):
-        out = device_loop(stacked, f_prev, pts_prev, mt_est)
-    jax.block_until_ready(out)
+    outs = [device_loop(stacked, f_prev, pts_prev,
+                        mt_est + np.float64((rep + 1) * 1e-7))
+            for rep in range(n_reps)]
+    for o in outs:
+        np.asarray(o[1])     # fetch ALL reps: every one really executed
     dev_fps = round(n_reps * (n_frames - 1) / (time.time() - t0), 2)
     return dev_fps, host_fps
 
@@ -392,15 +413,21 @@ def bench_production_tracker(n_build=48, snap_at=24, n_scan=20, n_reps=4):
     cfg = tr.cfg
     rig = slam.rig
     render = synthetic.make_renderer(rig)
-    gt = synthetic.bench_trajectory(n_build + n_scan + 2, radius=0.8)
-    frames = [np.asarray(render(jnp.asarray(gt[t], jnp.float32)))
-              for t in range(n_build + n_scan + 2)]
+    n_total = n_build + n_scan + 2
+    gt = synthetic.bench_trajectory(n_total, radius=0.8)
+    # device-resident frames, chunk-batched renders: see
+    # _make_extract_and_frames
+    frames = []
+    for s in range(0, n_total, 24):
+        frames.extend(render(jnp.asarray(gt[s:min(s + 24, n_total)],
+                                         jnp.float32)))
+    jax.block_until_ready(frames[-1])
 
     snap = None
     build_deadline = _remaining() * 0.6
     t_start = time.perf_counter()
     for t in range(n_build):
-        slam.track(jnp.asarray(frames[t]), t / 25.0)
+        slam.track(frames[t], t / 25.0)
         if (t + 1) % 10 == 0:
             print(f"# bench: production map build frame {t + 1}/{n_build} "
                   f"({time.perf_counter() - t_start:.0f}s)",
@@ -502,10 +529,15 @@ def bench_production_tracker(n_build=48, snap_at=24, n_scan=20, n_reps=4):
     if int((n_ins >= cfg.min_inliers_local).sum()) < int(0.9 * n_scan):
         raise RuntimeError(
             f"production bench: scan lost tracking (inliers {n_ins})")
+    # cache-busting reps + fetch-all: see bench_hot_loop — identical
+    # repeated calls are deduped by the remote client and time ~0
+    def _carry_eps(rep):
+        f, sx, sh, mt, V = carry0
+        return (f, sx, sh, mt + jnp.float32((rep + 1) * 1e-7), V)
     t0 = time.time()
-    for _ in range(n_reps):
-        out = device_loop(stacked, carry0)
-    jax.block_until_ready(out[1])
+    outs = [device_loop(stacked, _carry_eps(rep)) for rep in range(n_reps)]
+    for o in outs:
+        np.asarray(o[1])
     fps = round(n_reps * n_scan / (time.time() - t0), 2)
     return fps, dict(
         prod_scan_frames=n_scan,
@@ -554,20 +586,23 @@ def _extract_match_time(n_timed=4, n_frames=6, device_timed=True):
 
     if device_timed:
         @jax.jit
-        def batch(stacked, last0):
+        def batch(stacked, last0, eps):
+            # eps: cache-busting input (see bench_hot_loop) — folded
+            # into the image batch so every timed rep is a distinct
+            # computation on both backends
             def body(last, img):
                 feats, m = step(img, last)
                 return feats, jnp.sum(m >= 0)
-            return lax.scan(body, last0, stacked)
+            return lax.scan(body, last0, stacked + eps)
         stacked = jnp.stack([jnp.asarray(f) for f in frames[1:]])
         T = stacked.shape[0]
-        out = batch(stacked, last)            # compile + warm
+        out = batch(stacked, last, jnp.float32(0.0))   # compile + warm
         jax.block_until_ready(out[1])
         ts = []
-        for _ in range(n_timed):
+        for rep in range(n_timed):
             t0 = time.perf_counter()
-            out = batch(stacked, last)
-            jax.block_until_ready(out[1])
+            out = batch(stacked, last, jnp.float32((rep + 1) * 1e-6))
+            np.asarray(out[1])
             ts.append((time.perf_counter() - t0) / T)
         return float(np.median(ts))
 
@@ -577,8 +612,8 @@ def _extract_match_time(n_timed=4, n_frames=6, device_timed=True):
     for t in range(2, 2 + n_timed):
         last, m = jstep(jnp.asarray(frames[t % n_frames]), last)
         t0 = time.perf_counter()
-        last, m = jstep(jnp.asarray(frames[t % n_frames]), last)
-        jax.block_until_ready(m)
+        last, m = jstep(jnp.asarray(frames[(t + 1) % n_frames]), last)
+        np.asarray(m)
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 
@@ -722,9 +757,12 @@ def bench_dispatch_rtt():
     x = jnp.zeros(8)
     jax.block_until_ready(f(x))
     ts = []
-    for _ in range(20):
+    for rep in range(20):
+        # distinct input per rep: identical repeated computations are
+        # deduped by the remote client (see bench_hot_loop)
+        xr = x + float(rep)
         t0 = time.perf_counter()
-        jax.block_until_ready(f(x))
+        np.asarray(f(xr))
         ts.append(time.perf_counter() - t0)
     return dict(dispatch_rtt_ms=round(float(np.median(ts)) * 1e3, 3))
 
@@ -770,31 +808,48 @@ def main():
     # concurrent CPU job (e.g. a pytest run) cuts those numbers ~3x.
     # Recording the load makes a contention-skewed number identifiable.
     extra["host_load1"] = round(os.getloadavg()[0], 2)
-    # insurance headline first (cheap, known-good): the r1-3 synthetic
-    # kernel loop — kept as kernel_loop_fps once the production number
-    # lands (round-2 lesson: a killed run must still leave a JSON line)
-    kfps, khost = bench_hot_loop()
-    extra["kernel_loop_fps"] = kfps
-    extra["kernel_loop_host_fps"] = khost
-    extra["headline_method"] = "kernel_standin"
-    _emit(kfps, dict(extra))
-    # THE round-4 headline: the production tracker jaxprs over a real
-    # map (VERDICT r3 item 6). Falls back to the kernel number if the
-    # build can't reach steady state in this environment.
-    fps = kfps
+    # THE headline: the production tracker jaxprs over a real map
+    # (VERDICT r3 item 6). It runs FIRST — stage ordering is budget
+    # triage, and through this harness's erratic remote-TPU tunnel (a
+    # fixed stage measured 70..790s run-to-run purely from link stalls)
+    # whatever runs late may never run. Priority: headline, then
+    # full_system (the only stage that proves the framework IS a SLAM
+    # system: working_frac + ATE), then the cheap diagnostics, then the
+    # comparison/continuity stages. Every step re-emits the enriched
+    # line so a kill at ANY point leaves everything completed so far
+    # (round-2 lesson: a killed run must still leave a JSON line).
+    fps = None
     try:
+        t0 = time.monotonic()
         fps, diag = bench_production_tracker()
+        print(f"# bench: production tracker done in "
+              f"{time.monotonic() - t0:.0f}s", file=sys.stderr, flush=True)
         extra.update(diag)
         extra["headline_method"] = "production_tracker_scan"
         _emit(fps, dict(extra))
     except Exception as e:
-        print(f"# bench: production headline failed ({e!r}); kernel "
-              f"stand-in kept", file=sys.stderr, flush=True)
+        # insurance: the r1-3 synthetic kernel loop (known-good)
+        print(f"# bench: production headline failed ({e!r}); falling "
+              f"back to the kernel stand-in", file=sys.stderr, flush=True)
+        fps, khost = bench_hot_loop()
+        extra["kernel_loop_fps"] = fps
+        extra["kernel_loop_host_fps"] = khost
+        extra["headline_method"] = "kernel_standin"
+        _emit(fps, dict(extra))
+    extra.update(stage(bench_full_system, 120, "full_system"))
+    _emit(fps, dict(extra))
     extra.update(stage(bench_dispatch_rtt, 20, "dispatch_rtt"))
     extra.update(stage(bench_chi2_parity, 60, "chi2_parity"))
+    _emit(fps, dict(extra))
     extra.update(stage(bench_cpu_compare, 90, "cpu_compare"))
-    extra.update(stage(bench_eight_cam, 60, "eight_cam"))
-    extra.update(stage(bench_full_system, 120, "full_system"))
+    _emit(fps, dict(extra))
+    if "kernel_loop_fps" not in extra:
+        def _kernel_continuity():
+            kfps, khost = bench_hot_loop()
+            return dict(kernel_loop_fps=kfps, kernel_loop_host_fps=khost)
+        extra.update(stage(_kernel_continuity, 90, "kernel_loop"))
+        _emit(fps, dict(extra))
+    extra.update(stage(bench_eight_cam, 45, "eight_cam"))
     # same metric, now enriched — last complete line wins either way
     _emit(fps, extra)
 

@@ -136,14 +136,27 @@ def make_renderer(rig: Rig, dtype=jnp.float32, room_half=None,
     w = int(float(rig.cams.width[0]))
     uu, vv = np.meshgrid(np.arange(w, dtype=np.float64),
                          np.arange(h, dtype=np.float64))
-    uv = jnp.asarray(np.stack([uu, vv], -1).reshape(-1, 2))
-    # compute per-pixel rays once, then PIN THEM AS NUMPY: a jit closure
-    # must not capture device arrays — embedding them as MLIR constants
-    # forces a device->host fetch at lowering time (pathological over a
-    # remote-TPU tunnel)
-    rays_cam = np.asarray(
-        jax.vmap(lambda c: cam_ops.img_to_world(c, uv))(
-            jax.tree.map(jnp.asarray, rig.cams))).astype(np.float32)
+    uv = np.stack([uu, vv], -1).reshape(-1, 2)
+    # compute per-pixel rays once, ON THE CPU BACKEND, then pin as
+    # numpy: (a) a jit closure must not capture device arrays —
+    # embedding them as MLIR constants forces a device->host fetch at
+    # lowering time; (b) computing them on the accelerator would mean
+    # downloading ~13MB of rays through the device link — measured
+    # through this harness's remote-TPU tunnel, device->host transfers
+    # are erratically slow (multi-second stalls), while the CPU compute
+    # costs ~1s. The render itself still runs on the default backend.
+    cams_host = jax.tree.map(np.asarray, rig.cams)
+    try:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            rays_cam = np.asarray(
+                jax.vmap(lambda c: cam_ops.img_to_world(
+                    c, jnp.asarray(uv)))(cams_host)).astype(np.float32)
+    except RuntimeError:   # no CPU backend registered: compute in place
+        rays_cam = np.asarray(
+            jax.vmap(lambda c: cam_ops.img_to_world(
+                c, jnp.asarray(uv)))(
+                jax.tree.map(jnp.asarray, rig.cams))).astype(np.float32)
     rays_cam = rays_cam.reshape(rig.n_cams, h, w, 3)
     lat = _lattice()
 
@@ -206,8 +219,16 @@ def make_renderer(rig: Rig, dtype=jnp.float32, room_half=None,
         return jnp.clip(img, 0.0, 255.0)
 
     rays_dev = jax.device_put(rays_cam)
+    render_batch_impl = jax.jit(jax.vmap(render_impl, in_axes=(0, None)))
 
     def render(M_t: jax.Array) -> jax.Array:
+        """(4,4) pose -> (n_cams,H,W) frame; (B,4,4) poses -> a
+        (B,n_cams,H,W) batch rendered in ONE dispatch (each separate
+        dispatch through a remote-accelerator link risks a stall, so
+        sequence producers prefer one batched call)."""
+        M_t = jnp.asarray(M_t)
+        if M_t.ndim == 3:
+            return render_batch_impl(M_t, rays_dev)
         return render_impl(M_t, rays_dev)
 
     return render
