@@ -44,6 +44,30 @@ class TestPyramid:
         for lvl, (h, w) in zip(lvls, pyramid.level_sizes(480, 754, 8, 1.2)):
             assert lvl.shape == (3, h, w)
 
+    def test_resize_matrix_matches_jax_image_resize(self):
+        """The host-precomputed matmul resize (the MXU-friendly pyramid
+        path) is the SAME linear map as jax.image.resize's antialiased
+        'linear' method — pinned per cascade step so a weight-formula
+        regression can't silently shift FAST corners."""
+        rng = np.random.default_rng(3)
+        img = jnp.asarray(rng.uniform(0, 255, (2, 96, 151)).astype(np.float32))
+        sizes = pyramid.level_sizes(96, 151, 4, 1.2)
+        lvls = pyramid.build_pyramid(img, 4, 1.2)
+        prev = img
+        for lvl in range(1, 4):
+            hl, wl = sizes[lvl]
+            want = jax.image.resize(prev, (2, hl, wl), method="linear")
+            np.testing.assert_allclose(np.asarray(lvls[lvl]),
+                                       np.asarray(want), atol=0.05)
+            prev = want
+
+    def test_resize_matrix_rows_normalized(self):
+        for n_in, n_out in [(480, 400), (754, 628), (161, 134), (10, 9)]:
+            m = pyramid._resize_matrix(n_in, n_out)
+            assert m.shape == (n_out, n_in)
+            np.testing.assert_allclose(m.sum(axis=1), 1.0, atol=1e-5)
+            assert (m >= 0).all()
+
 
 def make_corner_image(h=64, w=64, cx=32, cy=32):
     """Bright square on dark background -> strong FAST corners at the
