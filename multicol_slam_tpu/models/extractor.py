@@ -176,21 +176,26 @@ def make_extractor(cfg: ExtractorConfig, cams: CameraModel,
                             - jnp.asarray(row_off, jnp.int32)[level]], -1)
         xy_full = xy_lvl.astype(jnp.float32) * scale_per_kp[:, None]
 
-        # one pass each: orientation on the raw canvas, descriptors on
-        # the blurred canvas
-        angle = brief.ic_angle(canvas, yx_canvas)
-        blur = pyramid.box_filter(canvas)
+        # ONE raw patch gather feeds both orientation and descriptors:
+        # IC_Angle reads the raw center 31x31; the 5x5 box blur runs
+        # per-patch ('valid' mode — exactly the interior of the
+        # reference's full-image boxFilter, mdBRIEFextractorOct.cpp:1301)
+        # so only pixels the descriptors actually read are ever blurred.
+        patches_raw = brief.extract_patches(canvas, yx_canvas,
+                                            brief.PATCH_R + 2)   # (K,53,53)
+        angle = brief.ic_angle_patches(patches_raw)
+        patches_blur = brief.blur_patches_valid(patches_raw)     # (K,49,49)
         if cfg.use_dbrief:
             undist = undistort_points(cam, xy_full, cam.p1)
             if cfg.learn_masks:
-                desc, dmask = brief.compute_mdbrief(
-                    blur, yx_canvas, angle, undist, cam, pattern)
+                desc, dmask = brief.mdbrief_from_patches(
+                    patches_blur, angle, undist, cam, pattern)
             else:
-                desc = brief.compute_dbrief(
-                    blur, yx_canvas, angle, undist, cam, pattern)
+                desc = brief.dbrief_from_patches(
+                    patches_blur, angle, undist, cam, pattern)
                 dmask = jnp.full_like(desc, 0xFFFFFFFF)
         else:
-            desc = brief.compute_orb(blur, yx_canvas, angle, pattern)
+            desc = brief.orb_from_patches(patches_blur, angle, pattern)
             dmask = jnp.full_like(desc, 0xFFFFFFFF)
         ray = img_to_world(cam, xy_full)
         return Features(xy=xy_full, level=level, angle=angle, response=resp,

@@ -96,17 +96,42 @@ def _ic_weights() -> tuple[np.ndarray, np.ndarray]:
     return (u * inside).astype(np.float32), (v * inside).astype(np.float32)
 
 
+def ic_angle_patches(patches: jax.Array) -> jax.Array:
+    """IC angle from pre-extracted RAW square patches (K, P, P) with
+    P >= 31 (odd); uses the central 31x31 window."""
+    p = patches.shape[-1]
+    r = (p - 1) // 2
+    lo, hi = r - HALF_PATCH, r + HALF_PATCH + 1
+    wu, wv = _ic_weights()
+    ctr = patches[:, lo:hi, lo:hi]                  # (K, 31, 31)
+    m10 = jnp.einsum("kij,ij->k", ctr, jnp.asarray(wu))
+    m01 = jnp.einsum("kij,ij->k", ctr, jnp.asarray(wv))
+    return jnp.arctan2(m01, m10)
+
+
 def ic_angle(img: jax.Array, yx: jax.Array) -> jax.Array:
     """Intensity-centroid angle (radians, [-pi, pi]) per keypoint.
 
     m10 = sum u*I, m01 = sum v*I over the circular 31x31 patch;
     angle = atan2(m01, m10).
     """
-    wu, wv = _ic_weights()
-    patches = extract_patches(img, yx, HALF_PATCH)  # (K, 31, 31)
-    m10 = jnp.einsum("kij,ij->k", patches, jnp.asarray(wu))
-    m01 = jnp.einsum("kij,ij->k", patches, jnp.asarray(wv))
-    return jnp.arctan2(m01, m10)
+    return ic_angle_patches(extract_patches(img, yx, HALF_PATCH))
+
+
+def blur_patches_valid(patches: jax.Array, size: int = 5) -> jax.Array:
+    """'valid'-mode normalized box filter on (K, P, P) -> (K, P-s+1, P-s+1).
+
+    Blurring per-keypoint patches instead of the whole canvas
+    (pyramid.box_filter) computes only the pixels descriptors read
+    (~2.6M vs ~6M for a 3-cam rig) and lets one RAW patch gather feed
+    both IC_Angle and descriptor sampling. Interior values equal the
+    full-image reflect-101 filter exactly (keypoints sit >= border px
+    inside, so the reflected border is never touched).
+    """
+    out_w = patches.shape[-1] - size + 1
+    acc_h = sum(patches[:, :, i:i + out_w] for i in range(size))
+    acc = sum(acc_h[:, i:i + out_w, :] for i in range(size))
+    return acc / (size * size)
 
 
 # ---------------------------------------------------------------------------
@@ -127,7 +152,7 @@ def _sample_patch_values(patches: jax.Array, offsets: jax.Array) -> jax.Array:
     perturbs comparisons of near-equal pixels.
     """
     k, p, _ = patches.shape
-    off = jnp.clip(offsets, -PATCH_R + 1, PATCH_R - 1)
+    off = jnp.clip(offsets, -(p // 2) + 1, p // 2 - 1)
     ks = jnp.arange(p)
     oh_y = (off[..., 0:1] + p // 2 == ks[None, None, :]).astype(jnp.bfloat16)
     oh_x = (off[..., 1:2] + p // 2 == ks[None, None, :]).astype(jnp.bfloat16)
@@ -160,12 +185,18 @@ def rotate_pattern_int(pattern_xy: jax.Array, angle: jax.Array) -> jax.Array:
     return jnp.stack([yr, xr], -1)
 
 
+def orb_from_patches(patches_blur: jax.Array, angle: jax.Array,
+                     pattern: jax.Array) -> jax.Array:
+    """ORB from pre-blurred patches (K, P, P) centred on the keypoint."""
+    offsets = rotate_pattern_int(pattern.astype(jnp.float32), angle)
+    return _sample_and_pack(patches_blur, offsets)
+
+
 def compute_orb(img_blur: jax.Array, yx: jax.Array, angle: jax.Array,
                 pattern: jax.Array) -> jax.Array:
     """Plain rotated-BRIEF (ORB) descriptors, (K, B//32) uint32."""
-    patches = extract_patches(img_blur, yx, PATCH_R)
-    offsets = rotate_pattern_int(pattern.astype(jnp.float32), angle)
-    return _sample_and_pack(patches, offsets)
+    return orb_from_patches(extract_patches(img_blur, yx, PATCH_R),
+                            angle, pattern)
 
 
 # ---------------------------------------------------------------------------
@@ -191,13 +222,38 @@ def distorted_pattern_offsets(cam: CameraModel, undist_kp: jax.Array,
     return jnp.stack([uv[..., 1], uv[..., 0]], -1)  # (dy, dx)
 
 
+def dbrief_from_patches(patches_blur: jax.Array, angle: jax.Array,
+                        undist_kp: jax.Array, cam: CameraModel,
+                        pattern: jax.Array) -> jax.Array:
+    """dBRIEF from pre-blurred patches centred on the keypoint."""
+    offsets = distorted_pattern_offsets(cam, undist_kp, pattern, angle)
+    return _sample_and_pack(patches_blur, offsets)
+
+
 def compute_dbrief(img_blur: jax.Array, yx: jax.Array, angle: jax.Array,
                    undist_kp: jax.Array, cam: CameraModel,
                    pattern: jax.Array) -> jax.Array:
     """Distortion-aware BRIEF, (K, B//32) uint32."""
-    patches = extract_patches(img_blur, yx, PATCH_R)
-    offsets = distorted_pattern_offsets(cam, undist_kp, pattern, angle)
-    return _sample_and_pack(patches, offsets)
+    return dbrief_from_patches(extract_patches(img_blur, yx, PATCH_R),
+                               angle, undist_kp, cam, pattern)
+
+
+def mdbrief_from_patches(patches_blur: jax.Array, angle: jax.Array,
+                         undist_kp: jax.Array, cam: CameraModel,
+                         pattern: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """mdBRIEF (descriptor, stability mask) from pre-blurred patches."""
+    rot = jnp.float32(np.deg2rad(20.0))
+
+    def bits_at(a):
+        off = distorted_pattern_offsets(cam, undist_kp, pattern, a)
+        vals = _sample_patch_values(patches_blur, off)
+        return vals[:, 0::2] < vals[:, 1::2]
+
+    b0 = bits_at(angle)
+    b1 = bits_at(angle + rot)
+    b2 = bits_at(angle - rot)
+    stable = (b1 == b0) & (b2 == b0)
+    return pack_bits_u32(b0), pack_bits_u32(stable)
 
 
 def compute_mdbrief(img_blur: jax.Array, yx: jax.Array, angle: jax.Array,
@@ -208,16 +264,5 @@ def compute_mdbrief(img_blur: jax.Array, yx: jax.Array, angle: jax.Array,
     Mask bit b = 1 iff the bit-b test result at angle+-20deg equals the
     nominal result (mdBRIEFextractorOct.cpp:460-554).
     """
-    rot = jnp.float32(np.deg2rad(20.0))
-    patches = extract_patches(img_blur, yx, PATCH_R)
-
-    def bits_at(a):
-        off = distorted_pattern_offsets(cam, undist_kp, pattern, a)
-        vals = _sample_patch_values(patches, off)
-        return vals[:, 0::2] < vals[:, 1::2]
-
-    b0 = bits_at(angle)
-    b1 = bits_at(angle + rot)
-    b2 = bits_at(angle - rot)
-    stable = (b1 == b0) & (b2 == b0)
-    return pack_bits_u32(b0), pack_bits_u32(stable)
+    return mdbrief_from_patches(extract_patches(img_blur, yx, PATCH_R),
+                                angle, undist_kp, cam, pattern)

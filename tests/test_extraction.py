@@ -61,6 +61,21 @@ class TestPyramid:
                                        np.asarray(want), atol=0.05)
             prev = want
 
+    def test_blur_patches_equals_full_image_blur(self):
+        """The fused per-patch 'valid' blur (one raw gather feeds
+        IC_Angle + descriptors) reads EXACTLY the same values the
+        full-image reflect-101 box filter would give at every
+        descriptor sampling offset."""
+        rng = np.random.default_rng(7)
+        img = jnp.asarray(rng.uniform(0, 255, (128, 160)).astype(np.float32))
+        yx = jnp.asarray([[40, 50], [64, 80], [100, 130]], jnp.int32)
+        raw = brief.extract_patches(img, yx, brief.PATCH_R + 2)
+        got = brief.blur_patches_valid(raw)              # (K, 49, 49)
+        full = pyramid.box_filter(img)
+        want = brief.extract_patches(full, yx, brief.PATCH_R)  # (K, 49, 49)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5)
+
     def test_resize_matrix_rows_normalized(self):
         for n_in, n_out in [(480, 400), (754, 628), (161, 134), (10, 9)]:
             m = pyramid._resize_matrix(n_in, n_out)
