@@ -2,11 +2,11 @@
 
 Prints ONE JSON line. The primary metric is the cross-round headline
 3cam_tracking_fps — since round 4 measured through the PRODUCTION
-tracker jaxprs: a lax.scan whose body is exactly the two fused
-dispatches the system issues per WORKING frame (extract_motion_track_
-step + local_map_track_step, tracking.py) against a real map built by
-the system itself, at the real 754x480 Lafida resolution and feature
-budget. Device-timed (one dispatch tracks every frame), so the number
+tracker jaxprs: a lax.scan whose body is exactly the WORKING-frame
+computation the system dispatches (extraction + motion tracking +
+local-map tracking, fused into ONE dispatch by working_track_step,
+tracking.py) against a real map built by the system itself, at the
+real 754x480 Lafida resolution and feature budget. Device-timed (one dispatch tracks every frame), so the number
 is pure device throughput — immune to host contention and tunnel RTT.
 Baseline = the reference's de-facto bar of 25 fps 3-camera real-time
 tracking (BASELINE.md; Slam_Settings fps=25,
@@ -224,9 +224,10 @@ def bench_full_system(n_frames=90):
             # cOptimizer.cpp:88-92); fixed budget is 20
             lm_iters_median=(round(float(np.median(lm_it)), 1)
                              if lm_it else -1),
-            # device dispatches per frame (fused WORKING path target: 2 —
-            # extract+motion-track, local-map-track; each synchronous
-            # dispatch pays the tunnel RTT on a remote accelerator)
+            # device dispatches per frame (fused WORKING path target: 1 —
+            # working_track_step chains extraction + motion tracking +
+            # local-map tracking on-device; each synchronous dispatch
+            # pays the tunnel RTT on a remote accelerator)
             dispatches_median=(round(float(np.median(
                 slam.tracker.dispatches_per_frame)), 1)
                 if slam.tracker.dispatches_per_frame else -1),
@@ -377,12 +378,12 @@ def bench_eight_cam():
 
 def bench_production_tracker(n_build=48, snap_at=24, n_scan=20, n_reps=4):
     """Device-timed throughput of the PRODUCTION WORKING-frame path
-    (VERDICT r3 item 6): a lax.scan whose body calls exactly the two
-    fused dispatches the system issues per WORKING frame —
-    tracking.extract_motion_track_step (extraction + motion-model match
-    + pose LM) and tracking.local_map_track_step (frustum check +
-    local-map match + pose LM) — against a REAL map built by the system
-    itself on the bench trajectory. Unlike the round-1..3 kernel loop
+    (VERDICT r3 item 6): a lax.scan whose body is the same chain the
+    system's single fused WORKING dispatch (tracking.working_track_step)
+    traces — extraction + motion-model match + pose LM
+    (_motion_track_core) then frustum check + local-map match + pose LM
+    (_local_map_core) — against a REAL map built by the system itself
+    on the bench trajectory. Unlike the round-1..3 kernel loop
     (kept as kernel_loop_fps) nothing is synthetic: same jaxprs, same
     thresholds (motion_th=15, local_map_th=3), same map content.
 

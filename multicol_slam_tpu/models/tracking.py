@@ -214,23 +214,20 @@ def extract_motion_track_step(extract_fn, rig: Rig, images: jax.Array,
     return (cur,) + tuple(out)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("params", "th", "n_levels",
-                                    "scale_factor"))
-def local_map_track_step(rig: Rig, mt_cur: jax.Array, X: jax.Array,
-                         normal: jax.Array, mind: jax.Array,
-                         maxd: jax.Array, cand_ok: jax.Array,
-                         pt_desc: jax.Array, pt_mask: jax.Array,
-                         cur: Features, cur_has_pt: jax.Array,
-                         slot_X: jax.Array, slot_has: jax.Array,
-                         params, th: float, n_levels: int,
-                         scale_factor: float):
-    """TrackLocalMap fused into ONE dispatch: isInFrustum over the local
-    map snapshot, SearchByProjection into the frame, then pose-only LM
-    over existing slot associations PLUS the new local-map matches
-    (cTracking.cpp:834-888). cand_ok masks padding and points already in
-    the frame; slot_X/slot_has carry the world positions of the frame's
-    current associations (the motion-model matches).
+def _local_map_core(rig: Rig, mt_cur: jax.Array, X: jax.Array,
+                    normal: jax.Array, mind: jax.Array,
+                    maxd: jax.Array, cand_ok: jax.Array,
+                    pt_desc: jax.Array, pt_mask: jax.Array,
+                    cur: Features, cur_has_pt: jax.Array,
+                    slot_X: jax.Array, slot_has: jax.Array,
+                    params, th: float, n_levels: int,
+                    scale_factor: float):
+    """TrackLocalMap as one traced computation: isInFrustum over the
+    local map snapshot, SearchByProjection into the frame, then
+    pose-only LM over existing slot associations PLUS the new local-map
+    matches (cTracking.cpp:834-888). cand_ok masks padding and points
+    already in the frame; slot_X/slot_has carry the world positions of
+    the frame's current associations (the motion-model matches).
 
     Returns (frustum_ok (C,P) for visibility counters, match (C,P)->cur
     slot, mt, slot inliers (C,K), new-match inliers (C,P), n_inliers)."""
@@ -266,6 +263,81 @@ def local_map_track_step(rig: Rig, mt_cur: jax.Array, X: jax.Array,
     mt, inlier, n_in, n_it = opt.pose_optimization(rig, mt_cur, obs, X_all)
     return (ok, match, mt, inlier[:C * K].reshape(C, K),
             inlier[C * K:].reshape(C, P), n_in, n_it)
+
+
+local_map_track_step = functools.partial(jax.jit, static_argnames=(
+    "params", "th", "n_levels", "scale_factor"))(_local_map_core)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("extract_fn", "params", "th_motion",
+                                    "th_local", "n_levels",
+                                    "scale_factor"))
+def working_track_step(extract_fn, rig: Rig, images: jax.Array,
+                       mt_pred: jax.Array, last_pts: jax.Array,
+                       last_has: jax.Array, last: Features,
+                       lp_slot: jax.Array, X: jax.Array,
+                       normal: jax.Array, mind: jax.Array,
+                       maxd: jax.Array, cand_base: jax.Array,
+                       pt_desc: jax.Array, pt_mask: jax.Array,
+                       params, th_motion: float, th_local: float,
+                       n_levels: int, scale_factor: float):
+    """The WHOLE steady-state WORKING frame in ONE device dispatch:
+    feature extraction (cMultiFrame ctor, cMultiFrame.cpp:92-216) +
+    TrackWithMotionModel (cTracking.cpp:790-832) + TrackLocalMap
+    (cTracking.cpp:834-888), chained on-device. Through a remote-TPU
+    tunnel every synchronous dispatch pays the link RTT, so the dispatch
+    count IS the latency model; fusing the two tracking halves takes the
+    WORKING path from two round trips per frame to one.
+
+    The only cross-stage host work the two-dispatch split performed was
+    deriving the current frame's associations (cur_pt) from the motion
+    matches and excluding them from the local-map candidate set. Both
+    are recomputed here on-device from the motion-stage outputs:
+
+    * slot occupancy / positions: the motion match (C,K_last)->cur slot
+      scattered through inlier gating — identical to the host loop in
+      ``_track_with_motion_model`` (outliers nulled per
+      cTracking.cpp:817-830);
+    * candidate exclusion: ``lp_slot`` (P,C) carries, for every local
+      map point, its last-frame slot index per camera (or -1). A local
+      point is "already in the frame" iff any of those slots survived
+      the motion match — the device-side equivalent of
+      ``~np.isin(local_pts, cur_pt[slot_has])``.
+
+    The local map snapshot itself (X/normal/mind/maxd/desc) is selected
+    host-side from the LAST frame's associations (one-frame-lagged
+    UpdateReference, cTracking.cpp:1014-1123): after motion tracking,
+    cur_pt is a subset of the last frame's landmarks, so the voted
+    keyframe set is the same modulo slots that failed to rematch.
+
+    Returns (cur_feats, motion match, mt1, motion inliers, n_in1, n_m1,
+    lm_iters1, frustum_ok, local match, mt2, slot inliers, new-match
+    inliers, n_in2, lm_iters2)."""
+    cur = extract_fn(images)
+    m_out = _motion_track_core(rig, mt_pred, last_pts, last_has, cur,
+                               last, jnp.zeros_like(cur.valid), params,
+                               th=th_motion)
+    match1, mt1, inl1, n_in1, n_m1, it1 = m_out
+    C, K = match1.shape
+    keep = (match1 >= 0) & inl1
+    # scatter the surviving motion matches onto current-frame slots;
+    # out-of-range targets (K) are dropped, so non-kept rows write nowhere
+    tgt = jnp.where(keep, jnp.clip(match1, 0), K)
+    slot_has = jax.vmap(
+        lambda t: jnp.zeros((K,), bool).at[t].set(True, mode="drop"))(tgt)
+    slot_X = jax.vmap(
+        lambda t, p: jnp.zeros((K, 3), last_pts.dtype)
+        .at[t].set(p, mode="drop"))(tgt, last_pts)
+    cidx = jnp.broadcast_to(
+        jnp.arange(C, dtype=jnp.int32)[None, :], lp_slot.shape)
+    taken = (lp_slot >= 0) & keep[cidx, jnp.clip(lp_slot, 0)]
+    cand_ok = cand_base & ~taken.any(axis=1)
+    l_out = _local_map_core(rig, mt1, X, normal, mind, maxd, cand_ok,
+                            pt_desc, pt_mask, cur, slot_has, slot_X,
+                            slot_has, params, th=th_local,
+                            n_levels=n_levels, scale_factor=scale_factor)
+    return (cur,) + tuple(m_out) + tuple(l_out)
 
 
 class Tracker:
@@ -370,12 +442,17 @@ class Tracker:
         # into the motion dispatch and would not have run).
         forced = self.force_reloc
         motion_in = None
+        lm_in = None
         if (self.state == TrackState.WORKING and not forced
                 and self.velocity is not None and self.cfg.use_motion_model
                 and self.frame_id >= self.last_reloc_frame + 2):
             pts, has = self._gather_last_slot_points()
             if has.sum() >= 20:
                 motion_in = (pts, has)
+                # local-map snapshot voted by the LAST frame's (just
+                # resolved) associations: lets the whole WORKING frame
+                # run as ONE fused dispatch (working_track_step)
+                lm_in = self._local_map_snapshot(self.last_pt)
 
         if motion_in is None:
             with self.timers.time("feature_extraction"):
@@ -398,11 +475,17 @@ class Tracker:
             self._try_initialize()
         else:
             ok = False
+            fused_done = False
             with self.timers.time("initial_pose_estimation"):
                 if self.state == TrackState.WORKING and not forced:
-                    if motion_in is not None:
+                    if motion_in is not None and lm_in is not None:
+                        r = self._track_working_fused(motion_in, lm_in,
+                                                      images)
+                        if r is not None:
+                            ok, fused_done = r, True
+                    elif motion_in is not None:
                         ok = self._track_with_motion_model(motion_in, images)
-                    if not ok:
+                    if not ok and not fused_done:
                         ok = self._track_previous_frame()
                 else:
                     ok = self._relocalize()
@@ -410,7 +493,7 @@ class Tracker:
                         # clear only if no NEW request landed mid-frame
                         self.force_reloc = False
 
-            if ok:
+            if ok and not fused_done:
                 with self.timers.time("track_local_map"):
                     ok = self._track_local_map()
 
@@ -593,6 +676,96 @@ class Tracker:
         self.inlier_ratios.append(n_in / max(n_matches, 1))
         return n_in >= self.cfg.min_inliers_track
 
+    def _track_working_fused(self, motion_in, lm_in, images):
+        """The steady-state WORKING frame as ONE device dispatch
+        (``working_track_step``): extraction + motion tracking +
+        local-map tracking chained on-device; the host applies ALL
+        bookkeeping from a single transfer of the outputs.
+
+        Returns the local-map verdict (bool), or None when the motion
+        stage failed — the caller falls back to the previous-frame
+        window search exactly like the two-dispatch flow
+        (cTracking.cpp:300-315); ``cur_feats`` are already set from the
+        fused dispatch, and the motion associations were applied (or
+        not) with the same semantics as ``_track_with_motion_model``."""
+        pts, has = motion_in
+        local_pts, cap, arrs = lm_in
+        M_last = se3_np.cayley2hom(self.last_mt)
+        mt_pred = se3_np.hom2cayley(M_last @ self.velocity)
+        C, K = self.last_pt.shape
+        P = len(local_pts)
+        # per-camera inverse lookup: landmark id -> last-frame slot, so
+        # the device can exclude already-matched local points from the
+        # candidate set (the host-side np.isin of the split flow)
+        lp_slot = np.full((cap, C), -1, np.int32)
+        inv = np.full(self.map.pt_pos.shape[0], -1, np.int32)
+        for c in range(C):
+            inv[:] = -1
+            s = np.nonzero(has[c])[0]
+            inv[self.last_pt[c, s]] = s
+            lp_slot[:P, c] = inv[local_pts]
+        cand_base = np.zeros(cap, bool)
+        cand_base[:P] = True
+
+        self._dispatch_n += 1
+        out = working_track_step(
+            self.extract, self.rig, images, jnp.asarray(mt_pred),
+            jnp.asarray(pts), jnp.asarray(has), self.last_feats,
+            jnp.asarray(lp_slot), jnp.asarray(arrs["X"]),
+            jnp.asarray(arrs["normal"]), jnp.asarray(arrs["mind"]),
+            jnp.asarray(arrs["maxd"]), jnp.asarray(cand_base),
+            jnp.asarray(arrs["desc"]), jnp.asarray(arrs["dmask"]),
+            self.params, th_motion=self.cfg.motion_th,
+            th_local=self.cfg.local_map_th, n_levels=self.cfg.n_levels,
+            scale_factor=self.cfg.scale_factor)
+        self.cur_feats = out[0]    # device-resident, NOT transferred
+        # ONE host transfer for every scalar/association output
+        (match1, mt1, inl1, n_in1, n_m1, it1,
+         fr_ok, match2, mt2, inl_slot, inl_new, n_in2, it2) = \
+            jax.device_get(out[1:])
+        n_m1 = int(n_m1)
+        self.lm_iters.append(int(it1))
+        if n_m1 < 20:
+            return None
+        # motion bookkeeping — identical to _track_with_motion_model:
+        # assign matched points, DISCARD LM outliers (cTracking.cpp:817-830)
+        for c in range(C):
+            sel = np.nonzero(match1[c] >= 0)[0]
+            self.cur_pt[c, match1[c, sel]] = self.last_pt[c, sel]
+            bad = sel[~inl1[c, sel]]
+            self.cur_pt[c, match1[c, bad]] = -1
+        self.cur_mt = np.asarray(mt1)
+        n_in1 = int(n_in1)
+        self.inlier_ratios.append(n_in1 / max(n_m1, 1))
+        if n_in1 < self.cfg.min_inliers_track:
+            return None
+
+        # local-map bookkeeping — mirrors _track_local_map's post-
+        # dispatch section against the lagged snapshot
+        self.lm_iters.append(int(it2))
+        m = self.map
+        vis = fr_ok[:, :P].any(0)
+        m.pt_visible[local_pts[vis]] += 1
+        slot_has = self.cur_pt >= 0
+        n_new = 0
+        for c in range(C):
+            sel = np.nonzero(match2[c, :P] >= 0)[0]
+            slots = match2[c, sel]
+            free = self.cur_pt[c, slots] < 0
+            self.cur_pt[c, slots[free]] = local_pts[sel[free]]
+            n_new += int(free.sum())
+            bad = sel[~inl_new[c, sel]]
+            self.cur_outlier[c, match2[c, bad]] = True
+        self.cur_outlier |= slot_has & ~inl_slot
+        self.cur_mt = np.asarray(mt2)
+        n_in2 = int(n_in2)
+        n_obs = int(slot_has.sum()) + n_new
+        self.inlier_ratios.append(n_in2 / max(n_obs, 1))
+        tracked = self.cur_pt[(self.cur_pt >= 0) & ~self.cur_outlier]
+        m.pt_found[tracked] += 1
+        self.n_tracked.append(len(tracked))
+        return n_in2 >= self.cfg.min_inliers_local
+
     def _track_previous_frame(self) -> bool:
         """cTracking::TrackPreviousFrame (:724-788): wide window search
         from the last frame, then pose optimization."""
@@ -673,12 +846,17 @@ class Tracker:
     # local map tracking
     # ------------------------------------------------------------------
 
-    def _local_map_ids(self):
+    def _local_map_ids(self, src_pt=None):
         """UpdateReference (cTracking.cpp:1014-1123): keyframes observing
         current points (K1) + their covisible neighbours (K2); local
-        points = all points of those KFs."""
+        points = all points of those KFs. ``src_pt`` selects which
+        frame's associations vote (default: the current frame; the fused
+        WORKING path votes with the LAST frame's, see
+        ``working_track_step``)."""
+        if src_pt is None:
+            src_pt = self.cur_pt
         votes: dict[int, int] = {}
-        for pid in self.cur_pt[self.cur_pt >= 0]:
+        for pid in src_pt[src_pt >= 0]:
             if not self.map.pt_valid[pid]:
                 continue
             for kf, _, _ in self.map.pt_obs.get(int(pid), []):
@@ -698,6 +876,28 @@ class Tracker:
         pts = np.asarray([p for p in pts if self.map.pt_valid[p]], np.int32)
         return np.asarray(local_kfs, np.int32), pts
 
+    def _local_map_snapshot(self, src_pt=None):
+        """Bucket-padded device inputs for the local-map stage (point
+        positions / normals / distance range / distinctive descriptors),
+        selected by ``_local_map_ids`` voting with ``src_pt``. Returns
+        (local_pts, cap, dict of padded arrays) or None when no local
+        map exists yet."""
+        local_kfs, local_pts = self._local_map_ids(src_pt)
+        if len(local_pts) == 0:
+            return None
+        m = self.map
+        P = len(local_pts)
+        cap = bucket(P, 256)
+        pad = lambda a, fill=0: np.concatenate(
+            [a, np.full((cap - P,) + a.shape[1:], fill, a.dtype)], 0)
+        arrs = dict(X=pad(m.pt_pos[local_pts]),
+                    normal=pad(m.pt_normal[local_pts]),
+                    mind=pad(m.pt_min_dist[local_pts]),
+                    maxd=pad(m.pt_max_dist[local_pts], 1.0),
+                    desc=pad(m.pt_desc[local_pts]),
+                    dmask=pad(m.pt_desc_mask[local_pts]))
+        return local_pts, cap, arrs
+
     def _track_local_map(self, th: float | None = None,
                          update_counters: bool = True) -> bool:
         """TrackLocalMap (:834-888), fused: frustum check + local-map
@@ -708,20 +908,15 @@ class Tracker:
         second-chance round re-matches with widened windows, th=10);
         ``update_counters=False`` skips the visibility/found counters so
         a reloc attempt does not skew culling statistics."""
-        local_kfs, local_pts = self._local_map_ids()
-        if len(local_pts) == 0:
+        snap = self._local_map_snapshot()
+        if snap is None:
             return False
+        local_pts, cap, arrs = snap
         m = self.map
-        cap = bucket(len(local_pts), 256)
         P = len(local_pts)
-        pad = lambda a, fill=0: np.concatenate(
-            [a, np.full((cap - P,) + a.shape[1:], fill, a.dtype)], 0)
-        X = pad(m.pt_pos[local_pts])
-        normal = pad(m.pt_normal[local_pts])
-        mind = pad(m.pt_min_dist[local_pts])
-        maxd = pad(m.pt_max_dist[local_pts], 1.0)
-        desc = pad(m.pt_desc[local_pts])
-        dmask = pad(m.pt_desc_mask[local_pts])
+        X, normal, mind, maxd, desc, dmask = (
+            arrs["X"], arrs["normal"], arrs["mind"], arrs["maxd"],
+            arrs["desc"], arrs["dmask"])
 
         # clean up the frame's associations BEFORE deriving the
         # candidate set: follow merge forwarding, drop slots flagged as

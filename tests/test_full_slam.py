@@ -59,11 +59,12 @@ def test_map_grows(slam_run):
     assert slam.map.n_points() > 100
 
 
-def test_working_path_is_two_dispatches(slam_run):
-    """Steady-state WORKING frames issue exactly TWO device dispatches:
-    extract_motion_track_step (extraction fused with motion tracking)
-    and local_map_track_step. Each synchronous dispatch pays the tunnel
-    RTT on a remote accelerator, so the count IS the latency model."""
+def test_working_path_is_one_dispatch(slam_run):
+    """Steady-state WORKING frames issue exactly ONE device dispatch:
+    working_track_step fuses extraction + motion tracking + local-map
+    tracking into a single traced computation. Each synchronous dispatch
+    pays the tunnel RTT on a remote accelerator, so the count IS the
+    latency model."""
     slam, est, used_gt, states = slam_run
     disp = np.asarray(slam.tracker.dispatches_per_frame)
     working = np.asarray([s == TrackState.WORKING for s in states])
@@ -71,7 +72,7 @@ def test_working_path_is_two_dispatches(slam_run):
     # non-fused extraction + previous-frame window search)
     steady = disp[working & (np.arange(len(disp)) > int(np.argmax(working)) + 1)]
     assert len(steady) >= 10
-    assert np.median(steady) == 2, f"dispatch counts: {steady.tolist()}"
+    assert np.median(steady) == 1, f"dispatch counts: {steady.tolist()}"
 
 
 def test_trajectory_accuracy(slam_run):
