@@ -45,36 +45,52 @@ def assemble_ba_problem(m: MapStore, kfs: list[int], fixed_mask: np.ndarray,
     """Assemble a static-shape BAProblem over the given keyframes (host
     side of cOptimizer graph building, cOptimizer.cpp:57-257/461-874).
 
-    Returns (problem, mt0 (N,6), X0 (P,3), pts (P,), obs_list) or None
-    when there are fewer than ``min_obs`` observations. obs_list rows are
-    (xy, kf_index, cam, pt_index, inv_sigma2, kf_id, slot) for callers
+    Returns (problem, mt0 (N,6), X0 (P,3), pts (P,), rows) or None when
+    there are fewer than ``min_obs`` observations. rows is the (K, 4)
+    (pt, kf_id, cam, slot) table aligned with the obs arrays, for callers
     that prune observations by chi2 afterwards.
-    """
-    kf_index = {k: i for i, k in enumerate(kfs)}
-    pts = set()
-    for lkf in kfs:
-        arr = m.kf_pt[lkf]
-        pts.update(int(p) for p in arr[arr >= 0] if m.pt_valid[p])
-    if not pts:
-        return None
-    pts = np.asarray(sorted(pts), np.int32)
-    pt_index = {int(p): i for i, p in enumerate(pts)}
 
-    obs_list = []
-    for p in pts:
-        for okf, cam, slot in m.pt_obs.get(int(p), []):
-            if okf not in kf_index:
-                continue
-            host = m.kf_host(okf)
-            if host is None:
-                continue
-            xy = host.xy[cam, slot]
-            lvl = int(host.level[cam, slot])
-            obs_list.append((xy, kf_index[okf], cam, pt_index[int(p)],
-                             scale_factor ** (-2.0 * lvl), okf, slot))
-    if len(obs_list) < min_obs:
+    Fully vectorized off the MapStore's flat observation log — host
+    assembly cost is O(selected observations) in numpy, not a python
+    walk over per-point lists (which dominated the mapping pass on
+    larger maps).
+    """
+    kfs_a = np.asarray(kfs, np.int64)
+    kf_in = np.zeros(m.kf_pt.shape[0], bool)
+    kf_in[kfs_a] = True
+    rows = m.obs_rows()
+    rows = rows[kf_in[rows[:, 1]] & m.pt_valid[rows[:, 0]]]
+    if len(rows) < min_obs:
         return None
-    K = len(obs_list)
+    rows = np.unique(rows, axis=0)   # dedupe re-added observations
+
+    # per-row measurement + octave, gathered per unique keyframe
+    K = len(rows)
+    uv_r = np.zeros((K, 2), np.float32)
+    lvl_r = np.zeros(K, np.int32)
+    keep = np.ones(K, bool)
+    srt = np.argsort(rows[:, 1], kind="stable")
+    rs = rows[srt]
+    uk, starts = np.unique(rs[:, 1], return_index=True)
+    for i, kf in enumerate(uk):
+        end = starts[i + 1] if i + 1 < len(uk) else K
+        sl = srt[starts[i]:end]
+        host = m.kf_host(int(kf))
+        if host is None:
+            keep[sl] = False
+            continue
+        uv_r[sl] = host.xy[rows[sl, 2], rows[sl, 3]]
+        lvl_r[sl] = host.level[rows[sl, 2], rows[sl, 3]]
+    if not keep.all():
+        rows, uv_r, lvl_r = rows[keep], uv_r[keep], lvl_r[keep]
+        K = len(rows)
+    if K < min_obs:
+        return None
+    pts = np.unique(rows[:, 0]).astype(np.int32)
+    kf_to_idx = np.full(m.kf_pt.shape[0], -1, np.int32)
+    kf_to_idx[kfs_a] = np.arange(len(kfs), dtype=np.int32)
+    pti_r = np.searchsorted(pts, rows[:, 0]).astype(np.int32)
+
     cap = bucket(K, 512) + 1
     uv = np.zeros((cap, 2), np.float32)
     kfi = np.zeros(cap, np.int32)
@@ -82,23 +98,24 @@ def assemble_ba_problem(m: MapStore, kfs: list[int], fixed_mask: np.ndarray,
     pti = np.zeros(cap, np.int32)
     isig = np.ones(cap, np.float32)
     valid = np.zeros(cap, bool)
-    for i, (xy, ki, c, pi, s2, _, _) in enumerate(obs_list):
-        uv[i], kfi[i], cami[i], pti[i], isig[i], valid[i] = \
-            xy, ki, c, pi, s2, True
+    uv[:K] = uv_r
+    kfi[:K] = kf_to_idx[rows[:, 1]]
+    cami[:K] = rows[:, 2]
+    pti[:K] = pti_r
+    isig[:K] = scale_factor ** (-2.0 * lvl_r)
+    valid[:K] = True
     obs = opt.BAObservations(
         uv=jnp.asarray(uv), kf=jnp.asarray(kfi), cam=jnp.asarray(cami),
         pt=jnp.asarray(pti), inv_sigma2=jnp.asarray(isig),
         valid=jnp.asarray(valid))
     # per-point obs table (padded with the guaranteed-invalid row cap-1)
-    max_obs = max(np.bincount(pti[:K], minlength=len(pts)).max(), 1)
-    Mo = bucket(int(max_obs), 4)
+    counts = np.bincount(pti_r, minlength=len(pts))
+    Mo = bucket(int(max(counts.max(), 1)), 4)
     pt_obs_tab = np.full((len(pts), Mo), cap - 1, np.int32)
-    fill = np.zeros(len(pts), np.int32)
-    for i in range(K):
-        p = pti[i]
-        if fill[p] < Mo:
-            pt_obs_tab[p, fill[p]] = i
-            fill[p] += 1
+    order2 = np.argsort(pti_r, kind="stable")
+    group_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = np.arange(K) - group_start[pti_r[order2]]
+    pt_obs_tab[pti_r[order2], pos] = order2
     # bucket the KEYFRAME and POINT axes too: without this every map
     # growth step compiles a fresh BA executable (hundreds per run —
     # slow everywhere, and enough accumulated LLVM JIT code to exhaust
@@ -120,7 +137,7 @@ def assemble_ba_problem(m: MapStore, kfs: list[int], fixed_mask: np.ndarray,
                           np.zeros((Ncap - N, 6))], 0)
     X0 = np.concatenate([m.pt_pos[pts].astype(np.float64),
                          np.ones((Pcap - P, 3))], 0)
-    return problem, mt0, X0, pts, obs_list
+    return problem, mt0, X0, pts, rows
 
 
 @dataclasses.dataclass
@@ -452,18 +469,20 @@ class LocalMapper:
         points marginalized; chi2-based observation pruning after."""
         m = self.map
         local = [kf] + m.covisible_keyframes(kf)
-        local_set = set(local)
-        pts = set()
-        for lkf in local:
-            arr = m.kf_pt[lkf]
-            pts.update(int(p) for p in arr[arr >= 0] if m.pt_valid[p])
-        if not pts:
+        arr = m.kf_pt[np.asarray(local, np.int64)]
+        pts = np.unique(arr[arr >= 0])
+        pts = pts[m.pt_valid[pts]]
+        if len(pts) == 0:
             return
-        fixed = set()
-        for p in pts:
-            for okf, _, _ in m.pt_obs.get(int(p), []):
-                if okf not in local_set:
-                    fixed.add(okf)
+        # fixed KFs = out-of-window observers of the local points,
+        # found vectorized off the flat observation log
+        in_local_pts = np.zeros(m.pt_pos.shape[0], bool)
+        in_local_pts[pts] = True
+        in_window = np.zeros(m.kf_pt.shape[0], bool)
+        in_window[np.asarray(local, np.int64)] = True
+        rows = m.obs_rows()
+        okf = rows[in_local_pts[rows[:, 0]], 1]
+        fixed = set(np.unique(okf[~in_window[okf]]).tolist())
         kfs = local + sorted(fixed)
         # always fix KF0 (gauge), plus the out-of-window observers
         fixed_mask = np.zeros(len(kfs), bool)
@@ -475,7 +494,7 @@ class LocalMapper:
         built = assemble_ba_problem(m, kfs, fixed_mask, self.scale_factor)
         if built is None:
             return
-        problem, mt0, X0, pts, obs_list = built
+        problem, mt0, X0, pts, rows = built
         mt, X, chi2 = opt.bundle_adjustment(
             self.rig, jnp.asarray(mt0), jnp.asarray(X0), problem,
             huber=opt.HUBER_LOCAL, iters=self.ba_iters)
@@ -489,9 +508,9 @@ class LocalMapper:
         m.pt_pos[pts] = X[:len(pts)].astype(np.float32)
         # prune high-chi2 observations (cOptimizer.cpp:766-816)
         th = opt.HUBER_LOCAL ** 2
-        for i, (xy, ki, c, pi, s2, okf, slot) in enumerate(obs_list):
-            if chi2[i] > th * 4:
-                m.erase_observation(int(pts[pi]), okf, c, slot)
+        for i in np.nonzero(chi2[:len(rows)] > th * 4)[0]:
+            p, okf, c, s = rows[i]
+            m.erase_observation(int(p), int(okf), int(c), int(s))
         # the BA moved poses and points, so the cached viewing-ray /
         # scale-invariance distances are stale (cMapPoint::
         # UpdateNormalAndDepth is the reference's per-mutation refresh);

@@ -66,6 +66,16 @@ class MapStore:
         self.pt_found = np.zeros(P, np.int32)     # mnFound
         self.pt_first_kf = np.full(P, -1, np.int32)
         self.pt_obs: dict[int, list[tuple[int, int, int]]] = defaultdict(list)
+        # flat APPEND-ONLY observation log for vectorized queries
+        # (local-map voting, BA assembly): rows are (pt, kf, cam, slot).
+        # A row is LIVE iff the keyframe slot still holds the point
+        # (kf_pt[kf, cam, slot] == pt) — erase/replace/cull update kf_pt,
+        # so liveness is ONE vectorized gather and the log itself never
+        # needs surgery. Host cost of map queries stays flat as the map
+        # grows (cTracking::UpdateReference is O(local map), not O(map),
+        # cTracking.cpp:1014-1123).
+        self._obs_log = np.zeros((8192, 4), np.int32)
+        self._obs_n = 0
         self.pt_replaced: dict[int, int] = {}   # old id -> merged-into id
         # replacement forwarding as a flat table (vectorized resolution)
         self.pt_forward = np.arange(P, dtype=np.int32)
@@ -224,9 +234,35 @@ class MapStore:
             if not c:
                 self._pt_kfs.pop(pt, None)
 
+    def _obs_append(self, pt: int, kf: int, cam: int, slot: int):
+        if self._obs_n == len(self._obs_log):
+            self._obs_log = np.concatenate(
+                [self._obs_log, np.zeros_like(self._obs_log)], 0)
+        self._obs_log[self._obs_n] = (pt, kf, cam, slot)
+        self._obs_n += 1
+
+    def obs_rows(self) -> np.ndarray:
+        """(n, 4) int32 (pt, kf, cam, slot) rows of the observation log
+        that are still LIVE (the keyframe slot still holds the point).
+        Re-added observations can appear twice; callers that feed an
+        optimizer dedupe with np.unique(axis=0)."""
+        rows = self._obs_log[:self._obs_n]
+        live = self.kf_pt[rows[:, 1], rows[:, 2], rows[:, 3]] == rows[:, 0]
+        return rows[live]
+
+    def rebuild_obs_log(self):
+        """Regenerate the flat log from pt_obs (checkpoint load)."""
+        self._obs_n = 0
+        total = sum(len(l) for l in self.pt_obs.values())
+        self._obs_log = np.zeros((max(8192, total), 4), np.int32)
+        for pt, lst in self.pt_obs.items():
+            for kf, cam, slot in lst:
+                self._obs_append(pt, kf, cam, slot)
+
     def add_observation(self, pt: int, kf: int, cam: int, slot: int):
         self.pt_obs[pt].append((kf, cam, slot))
         self.kf_pt[kf, cam, slot] = pt
+        self._obs_append(pt, kf, cam, slot)
         self._covis_link(pt, kf)
 
     def erase_observation(self, pt: int, kf: int, cam: int, slot: int):
@@ -273,6 +309,7 @@ class MapStore:
             else:
                 self.pt_obs[new].append((kf, cam, slot))
                 self.kf_pt[kf, cam, slot] = new
+                self._obs_append(new, kf, cam, slot)
                 self._covis_link(new, kf)
         self.pt_found[new] += self.pt_found[old]
         self.pt_visible[new] += self.pt_visible[old]

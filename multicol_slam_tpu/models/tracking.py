@@ -451,8 +451,12 @@ class Tracker:
                 motion_in = (pts, has)
                 # local-map snapshot voted by the LAST frame's (just
                 # resolved) associations: lets the whole WORKING frame
-                # run as ONE fused dispatch (working_track_step)
-                lm_in = self._local_map_snapshot(self.last_pt)
+                # run as ONE fused dispatch (working_track_step). Vote
+                # only with the CLEAN slots (``has`` already excludes
+                # LM outliers, dead landmarks and duplicate slots) so
+                # flagged associations never select local keyframes
+                lm_in = self._local_map_snapshot(
+                    np.where(has, self.last_pt, -1))
 
         if motion_in is None:
             with self.timers.time("feature_extraction"):
@@ -476,22 +480,32 @@ class Tracker:
         else:
             ok = False
             fused_done = False
-            with self.timers.time("initial_pose_estimation"):
-                if self.state == TrackState.WORKING and not forced:
-                    if motion_in is not None and lm_in is not None:
+            if self.state == TrackState.WORKING and not forced:
+                tried_fused = motion_in is not None and lm_in is not None
+                if tried_fused:
+                    # the ONE fused dispatch covers extraction + motion
+                    # tracking + local-map tracking: timed under its own
+                    # stage so per-stage medians keep a single meaning
+                    # (feature_extraction / initial_pose_estimation /
+                    # track_local_map cover only non-fused frames)
+                    with self.timers.time("working_fused"):
                         r = self._track_working_fused(motion_in, lm_in,
                                                       images)
-                        if r is not None:
-                            ok, fused_done = r, True
-                    elif motion_in is not None:
-                        ok = self._track_with_motion_model(motion_in, images)
-                    if not ok and not fused_done:
-                        ok = self._track_previous_frame()
-                else:
+                    if r is not None:
+                        ok, fused_done = r, True
+                if not fused_done:
+                    with self.timers.time("initial_pose_estimation"):
+                        if not tried_fused and motion_in is not None:
+                            ok = self._track_with_motion_model(motion_in,
+                                                               images)
+                        if not ok:
+                            ok = self._track_previous_frame()
+            else:
+                with self.timers.time("initial_pose_estimation"):
                     ok = self._relocalize()
-                    if ok and forced == self.force_reloc:
-                        # clear only if no NEW request landed mid-frame
-                        self.force_reloc = False
+                if ok and forced == self.force_reloc:
+                    # clear only if no NEW request landed mid-frame
+                    self.force_reloc = False
 
             if ok and not fused_done:
                 with self.timers.time("track_local_map"):
@@ -621,6 +635,21 @@ class Tracker:
         # drop slots whose point died
         alive = np.zeros((C, K), bool)
         alive[has] = self.map.pt_valid[ids]
+        # dedupe: merge forwarding can leave one landmark id in TWO slots
+        # of a camera; keep only the first slot so (a) a landmark never
+        # votes twice in the pose LM and (b) the fused path's id->slot
+        # inverse (lp_slot, working_track_step candidate exclusion) is
+        # exact — with duplicates, the recorded slot failing to rematch
+        # while the other survived would let the local-map stage
+        # re-associate a landmark already in the frame
+        for c in range(C):
+            idx = np.nonzero(alive[c])[0]
+            if len(idx) == 0:
+                continue
+            _, first = np.unique(self.last_pt[c, idx], return_index=True)
+            dup = np.ones(len(idx), bool)
+            dup[first] = False
+            alive[c, idx[dup]] = False
         return pts, alive
 
     def _track_with_motion_model(self, gathered=None, images=None) -> bool:
@@ -761,6 +790,16 @@ class Tracker:
         n_in2 = int(n_in2)
         n_obs = int(slot_has.sum()) + n_new
         self.inlier_ratios.append(n_in2 / max(n_obs, 1))
+        # resolve merge forwarding + drop dead landmarks BEFORE the
+        # found counters and the keyframe decision (the split flow does
+        # this in _track_local_map's preamble; without it
+        # _median_scene_depth and _create_new_keyframe could read
+        # merged-away ids for one frame and silently drop observations)
+        self.cur_pt = m.resolve_points(self.cur_pt)
+        raw_has = self.cur_pt >= 0
+        dead = np.zeros_like(raw_has)
+        dead[raw_has] = ~m.pt_valid[self.cur_pt[raw_has]]
+        self.cur_pt[dead] = -1
         tracked = self.cur_pt[(self.cur_pt >= 0) & ~self.cur_outlier]
         m.pt_found[tracked] += 1
         self.n_tracked.append(len(tracked))
@@ -855,25 +894,35 @@ class Tracker:
         ``working_track_step``)."""
         if src_pt is None:
             src_pt = self.cur_pt
-        votes: dict[int, int] = {}
-        for pid in src_pt[src_pt >= 0]:
-            if not self.map.pt_valid[pid]:
-                continue
-            for kf, _, _ in self.map.pt_obs.get(int(pid), []):
-                votes[kf] = votes.get(kf, 0) + 1
-        if not votes:
+        m = self.map
+        ids = src_pt[src_pt >= 0]
+        ids = ids[m.pt_valid[ids]]
+        if len(ids) == 0:
             return np.empty(0, np.int32), np.empty(0, np.int32)
-        k1 = sorted(votes, key=lambda k: -votes[k])
+        # vectorized vote over the map's flat observation log: count the
+        # live (pt, kf) rows whose point is associated in the frame —
+        # host cost is one gather + bincount, flat in map size (the
+        # per-association python/dict walk grew with every observation
+        # list and became the tracker's host bottleneck on 100+ KF maps)
+        in_frame = np.zeros(m.pt_pos.shape[0], bool)
+        in_frame[ids] = True
+        rows = m.obs_rows()
+        votes = np.bincount(rows[in_frame[rows[:, 0]], 1],
+                            minlength=m.kf_pt.shape[0])
+        k1 = np.nonzero(votes)[0]
+        if len(k1) == 0:
+            return np.empty(0, np.int32), np.empty(0, np.int32)
+        k1 = k1[np.argsort(-votes[k1], kind="stable")].tolist()
         local_kfs = list(k1)
+        seen = set(local_kfs)
         for kf in k1[:10]:
             for nkf in self.map.covisible_keyframes(kf, best_n=10):
-                if nkf not in local_kfs:
+                if nkf not in seen:
+                    seen.add(nkf)
                     local_kfs.append(nkf)
-        pts = set()
-        for kf in local_kfs:
-            arr = self.map.kf_pt[kf]
-            pts.update(int(p) for p in arr[arr >= 0])
-        pts = np.asarray([p for p in pts if self.map.pt_valid[p]], np.int32)
+        arr = self.map.kf_pt[np.asarray(local_kfs, np.int64)]
+        pts = np.unique(arr[arr >= 0])
+        pts = pts[self.map.pt_valid[pts]].astype(np.int32)
         return np.asarray(local_kfs, np.int32), pts
 
     def _local_map_snapshot(self, src_pt=None):

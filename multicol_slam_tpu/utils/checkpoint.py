@@ -81,6 +81,7 @@ def load_map(path: str) -> tuple[MapStore, dict]:
     m._next_pt, m._next_kf = (int(v) for v in z["_next"])
     for p, kf, cam, slot in z["obs_table"]:
         m.pt_obs[int(p)].append((int(kf), int(cam), int(slot)))
+    m.rebuild_obs_log()
     for a, b in z["pt_replaced"]:
         m.pt_replaced[int(a)] = int(b)
         m.pt_forward[int(a)] = int(b)
