@@ -17,12 +17,15 @@ defer it to a worker thread).
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import geometry as geo
 from ..ops import se3_np
+from ..ops.camera import world_to_img
 from ..ops.rig import Rig
 from . import matcher
 from . import optimizer as opt
@@ -38,6 +41,129 @@ CULL_FOUND_RATIO = 0.25           # MapPointCulling :199
 KF_CULL_REDUNDANT = 0.9           # KeyFrameCulling :585
 KF_CULL_MIN_OBS = 5               # maxNrObs, KeyFrameCulling :522
 KF_CULL_PREGATE_OBS = 3           # Observations() > 3 pre-gate :548
+
+
+# ---------------------------------------------------------------------------
+# Batched device kernels for the mapping pass. Each stage of the
+# reference's per-keyframe loop fans out over a small host list (top-5
+# covisible neighbours, C(C,2) camera pairs, 1st/2nd-degree fuse
+# targets, cLocalMapping.cpp:223-454); rounds 1-4 issued one device
+# dispatch per list item, which through a remote accelerator serialized
+# tens of tunnel round-trips per keyframe (the measured 1.1 s keyframe
+# stall). Stacking the list as a leading batch axis makes each stage ONE
+# dispatch + ONE transfer.
+# ---------------------------------------------------------------------------
+
+
+def _triangulate_and_gate(cam1, cam2, xy1, xy2_all, r1, ray2_all, m_c,
+                          Trel_c, Tcw_c):
+    """Shared triangulation + acceptance gates for one camera pair
+    (CreateNewMapPoints gates, cLocalMapping.cpp:270-379): midpoint
+    triangulation in camera-1 frame, then z>0 in both views, parallax,
+    two-view reprojection error, distance. Returns (Xw, good)."""
+    j = jnp.clip(m_c, 0)
+    r2 = ray2_all[j]
+    xy2 = xy2_all[j]
+    R12, t12 = Trel_c[:3, :3], Trel_c[:3, 3]
+    X1 = geo.triangulate_midpoint(t12, R12, r1, r2)
+    z1 = jnp.sum(X1 * r1, -1)
+    X2 = (X1 - t12) @ R12
+    z2 = jnp.sum(X2 * r2, -1)
+    n1 = X1 / jnp.maximum(jnp.linalg.norm(X1, axis=-1, keepdims=True), 1e-12)
+    d2v = X1 - t12
+    n2 = d2v / jnp.maximum(jnp.linalg.norm(d2v, axis=-1, keepdims=True),
+                           1e-12)
+    cosp = jnp.sum(n1 * n2, -1)
+    uv1 = world_to_img(cam1, X1)
+    uv2 = world_to_img(cam2, X2)
+    e1 = jnp.linalg.norm(uv1 - xy1, axis=-1)
+    e2 = jnp.linalg.norm(uv2 - xy2, axis=-1)
+    dist = jnp.linalg.norm(X1, axis=-1)
+    good = ((m_c >= 0) & (z1 > 0) & (z2 > 0)
+            & (cosp < jnp.cos(jnp.deg2rad(TRIANG_PARALLAX_DEG)))
+            & (e1 < TRIANG_REPROJ_TH) & (e2 < TRIANG_REPROJ_TH)
+            & (dist < TRIANG_MAX_DIST) & jnp.isfinite(X1).all(-1))
+    Xw = X1 @ Tcw_c[:3, :3].T + Tcw_c[:3, 3]
+    return Xw, good
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def triangulation_batch(rig: Rig, f1, f1_free, f2s, free2, E, Trel, Tcw,
+                        params):
+    """SearchForTriangulationRaw + midpoint triangulation + gates over
+    ALL top-covisible neighbour keyframes in ONE dispatch
+    (CreateNewMapPoints, cLocalMapping.cpp:223-383; same-camera search,
+    cORBmatcher.cpp:968-1155).
+
+    f2s: neighbour Features stacked on a leading axis (N, C, K, ...);
+    free2 (N, C, K); E (N, C, 3, 3) per-(neighbour, camera) essentials;
+    Trel (N, C, 4, 4) cam2->cam1 relative poses; Tcw (C, 4, 4)
+    cam1->world of the NEW keyframe. Padded neighbour rows carry
+    free2=False so they can never match. Returns (match (N, C, K),
+    Xw (N, C, K, 3), good (N, C, K))."""
+
+    def per_neighbor(f2, fr2, E_n, Trel_n):
+        match = matcher.search_for_triangulation(f1, f1_free, f2, fr2,
+                                                 E_n, params)
+
+        def per_cam(cam, m_c, xy1, r1, xy2_all, ray2_all, Trel_c, Tcw_c):
+            return _triangulate_and_gate(cam, cam, xy1, xy2_all, r1,
+                                         ray2_all, m_c, Trel_c, Tcw_c)
+
+        Xw, good = jax.vmap(per_cam)(rig.cams, match, f1.xy, f1.ray,
+                                     f2.xy, f2.ray, Trel_n, Tcw)
+        return match, Xw, good
+
+    return jax.vmap(per_neighbor)(f2s, free2, E, Trel)
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def cross_camera_batch(rig: Rig, f, free, i1, i2, E, Trel, Tcw, params):
+    """Intra-keyframe cross-camera triangulation over ALL C(C,2) camera
+    pairs in ONE dispatch (SearchForTriangulationBetweenCameras,
+    cORBmatcher.cpp:1158-1262). i1/i2 (Np,) index the camera axis; the
+    pair-sliced Features reuse search_for_triangulation's per-"camera"
+    vmap with the pair axis in the camera slot. Returns (match (Np, K),
+    Xw (Np, K, 3), good (Np, K))."""
+    take = lambda idx: jax.tree.map(lambda a: a[idx], f)
+    f1p, f2p = take(i1), take(i2)
+    cams1 = jax.tree.map(lambda a: a[i1], rig.cams)
+    cams2 = jax.tree.map(lambda a: a[i2], rig.cams)
+    free1, free2 = free[i1], free[i2]
+    match = matcher.search_for_triangulation(f1p, free1, f2p, free2, E,
+                                             params)
+
+    def per_pair(cam1, cam2, m_c, xy1, r1, xy2_all, ray2_all, Trel_c, Tcw_c):
+        return _triangulate_and_gate(cam1, cam2, xy1, xy2_all, r1,
+                                     ray2_all, m_c, Trel_c, Tcw_c)
+
+    Xw, good = jax.vmap(per_pair)(cams1, cams2, match, f1p.xy, f1p.ray,
+                                  f2p.xy, f2p.ray, Trel, Tcw)
+    return match, Xw, good
+
+
+@functools.partial(jax.jit, static_argnames=("params", "th", "n_levels",
+                                             "scale_factor"))
+def fuse_targets_batch(rig: Rig, poses, feats, occupied, X, normal, mind,
+                       maxd, cand_valid, desc, dmask, params, th: float,
+                       n_levels: int, scale_factor: float):
+    """SearchInNeighbors' Fuse pass over ALL target keyframes in ONE
+    dispatch (cLocalMapping.cpp:385-454 + cORBmatcher.cpp:1265-1420):
+    frustum-check the candidate points against every target pose, then
+    the projection-gated NN fuse match per target. poses (T, 6); feats:
+    target Features stacked on a leading axis (T, C, K, ...); occupied
+    (T, C, K); candidate arrays are shared across targets (P,...).
+    Returns match (T, C, P) into each target's slots."""
+
+    def per_target(mt, f, occ):
+        uv, ok, lvl, _ = frustum_check(
+            rig, mt, X, normal, mind, maxd,
+            n_levels=n_levels, scale_factor=scale_factor)
+        ok &= cand_valid[None, :]
+        return matcher.fuse_candidates(f, occ, desc, dmask, uv, ok, lvl,
+                                       params, th=th)
+
+    return jax.vmap(per_target)(poses, feats, occupied)
 
 
 def assemble_ba_problem(m: MapStore, kfs: list[int], fixed_mask: np.ndarray,
@@ -218,92 +344,82 @@ class LocalMapper:
 
     # ------------------------------------------------------------------
 
+    # neighbour-batch size: top-5 covisible KFs (cLocalMapping.cpp:244)
+    TRIANG_NEIGHBORS = 5
+
     def _create_new_map_points(self, kf: int):
         """CreateNewMapPoints (:223-383): triangulate unmatched features
         of the new KF against its top covisible KFs (same-camera pairs,
-        epipolar-gated search, midpoint triangulation + gates)."""
+        epipolar-gated search, midpoint triangulation + gates). All
+        neighbours are stacked into ONE triangulation_batch dispatch;
+        the host only allocates the accepted points."""
         m = self.map
-        neighbors = m.covisible_keyframes(kf, best_n=5)
-        if not neighbors:
-            return
+        neighbors = m.covisible_keyframes(kf, best_n=self.TRIANG_NEIGHBORS)
         f1 = m.kf_features[kf]
-        h1 = m.kf_host(kf)
-        mt1 = m.kf_pose[kf]
-        M1 = se3_np.cayley2hom(mt1)
+        if not neighbors or f1 is None:
+            return
+        M1 = se3_np.cayley2hom(m.kf_pose[kf])
         depth1 = self._median_depth_of_kf(kf)
-        C = m.kf_pt.shape[1]
+        C, K = m.kf_pt.shape[1:]
+        Mc = self._M_c_np
+        T1 = np.stack([np.linalg.inv(M1 @ Mc[c]) for c in range(C)])
+        Tcw = np.stack([M1 @ Mc[c] for c in range(C)])
 
+        valid_nb = []
         for nkf in neighbors:
-            f2 = m.kf_features[nkf]
-            h2 = m.kf_host(nkf)
-            if f2 is None or h2 is None:
+            if m.kf_features[nkf] is None:
                 continue
-            mt2 = m.kf_pose[nkf]
-            M2 = se3_np.cayley2hom(mt2)
+            M2 = se3_np.cayley2hom(m.kf_pose[nkf])
             baseline = np.linalg.norm(M1[:3, 3] - M2[:3, 3])
             if depth1 > 0 and baseline / depth1 < MIN_BASELINE_DEPTH_RATIO:
                 continue  # :244-254
+            valid_nb.append((nkf, M2))
+        if not valid_nb:
+            return
 
-            # per-camera essential (world-to-cam poses of the SAME camera)
-            Es = []
-            T1s, T2s = [], []
+        NB = self.TRIANG_NEIGHBORS
+        E = np.zeros((NB, C, 3, 3), np.float32)
+        Trel = np.tile(np.eye(4, dtype=np.float32), (NB, C, 1, 1))
+        free2 = np.zeros((NB, C, K), bool)
+        f2_list = []
+        for n, (nkf, M2) in enumerate(valid_nb):
             for c in range(C):
-                T1 = np.linalg.inv(M1 @ np.asarray(self.rig.M_c[c], np.float64))
-                T2 = np.linalg.inv(M2 @ np.asarray(self.rig.M_c[c], np.float64))
-                T1s.append(T1)
-                T2s.append(T2)
-                Es.append(se3_np.essential_from_poses(T1, T2))
-            free1 = jnp.asarray(m.kf_pt[kf] < 0)
-            free2 = jnp.asarray(m.kf_pt[nkf] < 0)
-            match = matcher.search_for_triangulation(
-                f1, free1, f2, free2, jnp.asarray(np.stack(Es), jnp.float32),
-                self.params)
-            match = np.asarray(match)          # (C, K) kf slots -> nkf slots
+                T2 = np.linalg.inv(M2 @ Mc[c])
+                E[n, c] = se3_np.essential_from_poses(T1[c], T2)
+                Trel[n, c] = T1[c] @ np.linalg.inv(T2)
+            free2[n] = m.kf_pt[nkf] < 0
+            f2_list.append(m.kf_features[nkf])
+        while len(f2_list) < NB:
+            f2_list.append(f1)    # pad rows; free2=False -> never match
+        f2s = jax.tree.map(lambda *xs: jnp.stack(xs), *f2_list)
+        match, Xw, good = jax.device_get(triangulation_batch(
+            self.rig, f1, jnp.asarray(m.kf_pt[kf] < 0), f2s,
+            jnp.asarray(free2), jnp.asarray(E), jnp.asarray(Trel),
+            jnp.asarray(Tcw.astype(np.float32)), self.params))
 
+        # allocate, processing neighbours in covisibility order with a
+        # slot-dedup mask (the reference's sequential loop leaves a slot
+        # occupied once an earlier neighbour triangulated it)
+        taken = np.zeros((C, K), bool)
+        new_ids = []
+        for n, (nkf, _) in enumerate(valid_nb):
             for c in range(C):
-                sel = np.nonzero(match[c] >= 0)[0]
+                sel = np.nonzero(good[n, c] & ~taken[c])[0]
                 if len(sel) == 0:
                     continue
-                j = match[c, sel]
-                # triangulate in camera-1 frame: rays + relative pose
-                r1 = h1.ray[c][sel]
-                r2 = h2.ray[c][j]
-                T1, T2 = T1s[c], T2s[c]
-                Trel = T1 @ np.linalg.inv(T2)      # cam2 -> cam1
-                R12, t12 = Trel[:3, :3], Trel[:3, 3]
-                X1 = se3_np.triangulate_midpoint(t12, R12, r1, r2)
-                # gates (z>0 both, parallax, reprojection, distance)
-                z1 = (X1 * r1).sum(1)
-                X2 = (X1 - t12) @ R12
-                z2 = (X2 * r2).sum(1)
-                n1 = X1 / np.maximum(np.linalg.norm(X1, axis=1, keepdims=True), 1e-12)
-                n2v = X1 - t12
-                n2 = n2v / np.maximum(np.linalg.norm(n2v, axis=1, keepdims=True), 1e-12)
-                cosp = (n1 * n2).sum(1)
-                cos_th = np.cos(np.deg2rad(TRIANG_PARALLAX_DEG))
-                cam_c = jax.tree.map(lambda x: np.asarray(x[c]), self.rig.cams)
-                uv1 = se3_np.world_to_img(cam_c, X1)
-                uv2 = se3_np.world_to_img(cam_c, X2)
-                e1 = np.linalg.norm(uv1 - h1.xy[c][sel], axis=1)
-                e2 = np.linalg.norm(uv2 - h2.xy[c][j], axis=1)
-                dist = np.linalg.norm(X1, axis=1)
-                good = ((z1 > 0) & (z2 > 0) & (cosp < cos_th)
-                        & (e1 < TRIANG_REPROJ_TH) & (e2 < TRIANG_REPROJ_TH)
-                        & (dist < TRIANG_MAX_DIST) & np.isfinite(X1).all(1))
-                if not good.any():
-                    continue
-                # to world: X_w = (M1 Mc) X_cam1
-                Tcw = M1 @ np.asarray(self.rig.M_c[c], np.float64)
-                Xw = (X1[good] @ Tcw[:3, :3].T) + Tcw[:3, 3]
-                ids = m.alloc_points(len(Xw))
-                m.pt_pos[ids] = Xw.astype(np.float32)
+                j = match[n, c, sel]
+                ids = m.alloc_points(len(sel))
+                m.pt_pos[ids] = Xw[n, c, sel].astype(np.float32)
                 m.pt_first_kf[ids] = kf
                 for i, p in enumerate(ids):
-                    m.add_observation(int(p), kf, c, int(sel[good][i]))
-                    m.add_observation(int(p), nkf, c, int(j[good][i]))
+                    m.add_observation(int(p), kf, c, int(sel[i]))
+                    m.add_observation(int(p), nkf, c, int(j[i]))
                     self.recent_pts.append((int(p), kf))
-                m.update_point_stats(ids, self._M_c_np,
-                                     self.scale_factor, self.n_levels)
+                taken[c, sel] = True
+                new_ids.append(ids)
+        if new_ids:
+            m.update_point_stats(np.concatenate(new_ids), self._M_c_np,
+                                 self.scale_factor, self.n_levels)
 
     def _create_cross_camera_points(self, kf: int):
         """Intra-MKF cross-camera triangulation
@@ -314,71 +430,61 @@ class LocalMapper:
         observations that anchor absolute scale."""
         m = self.map
         f = m.kf_features[kf]
-        h = m.kf_host(kf)
-        if f is None or h is None:
+        if f is None:
             return
         M1 = se3_np.cayley2hom(m.kf_pose[kf])
-        C = m.kf_pt.shape[1]
-        Mc = np.asarray(self.rig.M_c, np.float64)
+        C, K = m.kf_pt.shape[1:]
+        Mc = self._M_c_np
 
-        def cam_slice(feats, c):
-            return jax.tree.map(lambda a: a[c:c + 1], feats)
-
+        # all C(C,2) pairs with a usable baseline, as ONE batched dispatch
+        pairs = []
         for c1 in range(C):
             for c2 in range(c1 + 1, C):
-                # relative pose cam2 -> cam1 from extrinsics
                 Trel = np.linalg.inv(Mc[c1]) @ Mc[c2]
-                R12, t12 = Trel[:3, :3], Trel[:3, 3]
-                if np.linalg.norm(t12) < 1e-6:
+                if np.linalg.norm(Trel[:3, 3]) < 1e-6:
                     continue
-                E = se3_np.essential_from_poses(
-                    np.linalg.inv(Mc[c1]), np.linalg.inv(Mc[c2]))
-                free1 = jnp.asarray(m.kf_pt[kf, c1:c1 + 1] < 0)
-                free2 = jnp.asarray(m.kf_pt[kf, c2:c2 + 1] < 0)
-                match = np.asarray(matcher.search_for_triangulation(
-                    cam_slice(f, c1), free1, cam_slice(f, c2), free2,
-                    jnp.asarray(E[None], jnp.float32), self.params))[0]
-                sel = np.nonzero(match >= 0)[0]
-                if len(sel) == 0:
-                    continue
-                j = match[sel]
-                r1 = h.ray[c1][sel]
-                r2 = h.ray[c2][j]
-                X1 = se3_np.triangulate_midpoint(t12, R12, r1, r2)
-                z1 = (X1 * r1).sum(1)
-                X2 = (X1 - t12) @ R12
-                z2 = (X2 * r2).sum(1)
-                cam_1 = jax.tree.map(lambda x: np.asarray(x[c1]), self.rig.cams)
-                cam_2 = jax.tree.map(lambda x: np.asarray(x[c2]), self.rig.cams)
-                uv1 = se3_np.world_to_img(cam_1, X1)
-                uv2 = se3_np.world_to_img(cam_2, X2)
-                e1 = np.linalg.norm(uv1 - h.xy[c1][sel], axis=1)
-                e2 = np.linalg.norm(uv2 - h.xy[c2][j], axis=1)
-                # parallax over the rig baseline
-                n1 = X1 / np.maximum(
-                    np.linalg.norm(X1, axis=1, keepdims=True), 1e-12)
-                n2v = X1 - t12
-                n2 = n2v / np.maximum(
-                    np.linalg.norm(n2v, axis=1, keepdims=True), 1e-12)
-                cosp = (n1 * n2).sum(1)
-                dist = np.linalg.norm(X1, axis=1)
-                good = ((z1 > 0) & (z2 > 0)
-                        & (cosp < np.cos(np.deg2rad(TRIANG_PARALLAX_DEG)))
-                        & (e1 < TRIANG_REPROJ_TH) & (e2 < TRIANG_REPROJ_TH)
-                        & (dist < TRIANG_MAX_DIST) & np.isfinite(X1).all(1))
-                if not good.any():
-                    continue
-                Tcw = M1 @ Mc[c1]
-                Xw = (X1[good] @ Tcw[:3, :3].T) + Tcw[:3, 3]
-                ids = m.alloc_points(len(Xw))
-                m.pt_pos[ids] = Xw.astype(np.float32)
-                m.pt_first_kf[ids] = kf
-                for i, p in enumerate(ids):
-                    m.add_observation(int(p), kf, c1, int(sel[good][i]))
-                    m.add_observation(int(p), kf, c2, int(j[good][i]))
-                    self.recent_pts.append((int(p), kf))
-                m.update_point_stats(ids, self._M_c_np,
-                                     self.scale_factor, self.n_levels)
+                pairs.append((c1, c2, Trel))
+        if not pairs:
+            return
+        Np = len(pairs)
+        i1 = np.asarray([p[0] for p in pairs], np.int32)
+        i2 = np.asarray([p[1] for p in pairs], np.int32)
+        Trel = np.stack([p[2] for p in pairs]).astype(np.float32)
+        E = np.stack([se3_np.essential_from_poses(
+            np.linalg.inv(Mc[c1]), np.linalg.inv(Mc[c2]))
+            for c1, c2, _ in pairs]).astype(np.float32)
+        Tcw = np.stack([M1 @ Mc[c1] for c1, _, _ in pairs]).astype(np.float32)
+        match, Xw, good = jax.device_get(cross_camera_batch(
+            self.rig, f, jnp.asarray(m.kf_pt[kf] < 0), jnp.asarray(i1),
+            jnp.asarray(i2), jnp.asarray(E), jnp.asarray(Trel),
+            jnp.asarray(Tcw), self.params))
+
+        # allocate with endpoint dedup across pairs (sequential semantics:
+        # a slot consumed by an earlier pair is no longer free)
+        taken = np.zeros((C, K), bool)
+        new_ids = []
+        for pidx, (c1, c2, _) in enumerate(pairs):
+            sel = np.nonzero(good[pidx])[0]
+            if len(sel) == 0:
+                continue
+            j = match[pidx, sel]
+            ok = ~taken[c1, sel] & ~taken[c2, j]
+            sel, j = sel[ok], j[ok]
+            if len(sel) == 0:
+                continue
+            ids = m.alloc_points(len(sel))
+            m.pt_pos[ids] = Xw[pidx, sel].astype(np.float32)
+            m.pt_first_kf[ids] = kf
+            for i, p in enumerate(ids):
+                m.add_observation(int(p), kf, c1, int(sel[i]))
+                m.add_observation(int(p), kf, c2, int(j[i]))
+                self.recent_pts.append((int(p), kf))
+            taken[c1, sel] = True
+            taken[c2, j] = True
+            new_ids.append(ids)
+        if new_ids:
+            m.update_point_stats(np.concatenate(new_ids), self._M_c_np,
+                                 self.scale_factor, self.n_levels)
 
     def _median_depth_of_kf(self, kf: int) -> float:
         """cMultiKeyFrame::ComputeSceneMedianDepth (body frame)."""
@@ -395,59 +501,80 @@ class LocalMapper:
 
     def _fuse_in_neighbors(self, kf: int):
         """SearchInNeighbors (:385-454): project this KF's points into
-        1st/2nd degree neighbours and fuse duplicates, then the reverse."""
+        1st/2nd degree neighbours and fuse duplicates, then the reverse.
+        Forward direction runs as ONE fuse_targets_batch dispatch over
+        all targets (rounds 1-4 issued 2 dispatches per target)."""
         m = self.map
         targets = m.covisible_keyframes(kf, best_n=10)
         second = []
         for t in targets[:5]:
             second.extend(m.covisible_keyframes(t, best_n=5))
-        all_targets = [t for t in dict.fromkeys(targets + second) if t != kf]
+        all_targets = [t for t in dict.fromkeys(targets + second)
+                       if t != kf and m.kf_features[t] is not None]
 
         kf_pts = m.kf_pt[kf]
         kf_pts = np.unique(kf_pts[kf_pts >= 0])
-        for t in all_targets:
-            self._fuse_points_into_kf(kf_pts, t)
+        self.fuse_into_keyframes(kf_pts, all_targets)
         # reverse direction: fuse neighbours' points into kf
-        neigh_pts = set()
-        for t in all_targets:
-            arr = m.kf_pt[t]
-            neigh_pts.update(int(p) for p in arr[arr >= 0])
-        neigh_pts = np.asarray(sorted(neigh_pts), np.int32)
-        self._fuse_points_into_kf(neigh_pts, kf)
+        if all_targets:
+            arr = m.kf_pt[np.asarray(all_targets, np.int64)]
+            neigh_pts = np.unique(arr[arr >= 0])
+            self.fuse_into_keyframes(neigh_pts, [kf])
         self._update_point_stats_for_kf(kf)
 
-    def _fuse_points_into_kf(self, pts: np.ndarray, kf: int):
+    def fuse_into_keyframes(self, pts: np.ndarray, targets: list[int]):
+        """Project candidate landmarks into every target keyframe and
+        fuse duplicates (Fuse, cORBmatcher.cpp:1265-1420): one batched
+        frustum+match dispatch over the stacked target axis, then the
+        host merge/add bookkeeping per target in covisibility order."""
         m = self.map
+        targets = [t for t in targets if m.kf_features[t] is not None]
+        pts = np.asarray(pts, np.int64)
         pts = pts[m.pt_valid[pts]] if len(pts) else pts
-        if len(pts) == 0:
+        if len(pts) == 0 or not targets:
             return
-        f = m.kf_features[kf]
-        if f is None:
-            return
-        cap = bucket(len(pts), 256)
         P = len(pts)
+        cap = bucket(P, 256)
         pad = lambda a, fill=0: np.concatenate(
             [a, np.full((cap - P,) + a.shape[1:], fill, a.dtype)], 0)
-        uv, ok, lvl, _ = frustum_check(
-            self.rig, jnp.asarray(m.kf_pose[kf]),
+        Tn = len(targets)
+        Tcap = bucket(Tn, 4)
+        tg = targets + [targets[-1]] * (Tcap - Tn)
+        feats = jax.tree.map(lambda *xs: jnp.stack(xs),
+                             *[m.kf_features[t] for t in tg])
+        poses = np.stack([m.kf_pose[t] for t in tg])
+        occ = np.stack([m.kf_pt[t] >= 0 for t in tg])
+        match = np.asarray(fuse_targets_batch(
+            self.rig, jnp.asarray(poses), feats, jnp.asarray(occ),
             jnp.asarray(pad(m.pt_pos[pts])),
             jnp.asarray(pad(m.pt_normal[pts])),
             jnp.asarray(pad(m.pt_min_dist[pts])),
             jnp.asarray(pad(m.pt_max_dist[pts], 1.0)),
-            n_levels=self.n_levels, scale_factor=self.scale_factor)
-        ok = np.array(ok)
-        ok[:, P:] = False
-        fuse_fn = matcher.pick_fuse_fn(cap, self.params)
-        match = fuse_fn(
-            f, jnp.asarray(m.kf_pt[kf] >= 0),
+            jnp.asarray(np.arange(cap) < P),
             jnp.asarray(pad(m.pt_desc[pts])),
             jnp.asarray(pad(m.pt_desc_mask[pts])),
-            uv, jnp.asarray(ok), lvl, self.params)
-        match = np.asarray(match)
+            self.params, th=3.0, n_levels=self.n_levels,
+            scale_factor=self.scale_factor))
+        for t_idx, t in enumerate(targets):
+            self._apply_fuse_matches(pts, t, match[t_idx], P)
+
+    def _fuse_points_into_kf(self, pts: np.ndarray, kf: int):
+        """Single-target fuse (kept for the loop closer's SearchAndFuse,
+        cLoopClosing.cpp:597-610)."""
+        self.fuse_into_keyframes(np.asarray(pts), [kf])
+
+    def _apply_fuse_matches(self, pts: np.ndarray, kf: int,
+                            match: np.ndarray, P: int):
+        m = self.map
         C = match.shape[0]
         for c in range(C):
             for i in np.nonzero(match[c, :P] >= 0)[0]:
                 p = int(pts[i])
+                # follow merges performed earlier in this fuse pass
+                while not m.pt_valid[p] and m.pt_forward[p] != p:
+                    p = int(m.pt_forward[p])
+                if not m.pt_valid[p]:
+                    continue
                 slot = int(match[c, i])
                 existing = int(m.kf_pt[kf, c, slot])
                 if existing >= 0 and existing != p:
@@ -456,7 +583,7 @@ class LocalMapper:
                         m.replace_point(p, existing)
                     else:
                         m.replace_point(existing, p)
-                elif existing < 0 and m.pt_valid[p]:
+                elif existing < 0:
                     dup = [o for o in m.pt_obs[p] if o[0] == kf and o[1] == c]
                     if not dup:
                         m.add_observation(p, kf, c, slot)
@@ -532,44 +659,71 @@ class LocalMapper:
         keyframe's FIRST observation of the point counts (:565 'just
         take the first, even if there are more')."""
         m = self.map
-        for cand in m.covisible_keyframes(kf):
-            if cand == 0 or not m.kf_valid[cand]:
+        cands = [c for c in m.covisible_keyframes(kf)
+                 if c != 0 and m.kf_valid[c] and m.kf_host(c) is not None]
+        if not cands:
+            return
+        # vectorized off the flat observation log: one pass builds, per
+        # (point, level) of every live observation, the first-per-
+        # keyframe counts; each candidate then reduces in numpy — host
+        # cost stays flat as the map grows
+        rows = m.obs_rows()
+        n_obs_per_pt = np.bincount(rows[:, 0], minlength=m.pt_pos.shape[0])
+        # per-row octave, gathered per unique keyframe
+        lvl_row = np.zeros(len(rows), np.int32)
+        ok_row = np.zeros(len(rows), bool)
+        srt = np.argsort(rows[:, 1], kind="stable")
+        rs = rows[srt]
+        uk, starts = np.unique(rs[:, 1], return_index=True)
+        for i, okf in enumerate(uk):
+            end = starts[i + 1] if i + 1 < len(uk) else len(rows)
+            sl = srt[starts[i]:end]
+            host = m.kf_host(int(okf))
+            if host is None:
+                continue
+            lvl_row[sl] = host.level[rows[sl, 2], rows[sl, 3]]
+            ok_row[sl] = True
+        # only each other keyframe's FIRST observation of a point counts
+        # (:565 'just take the first, even if there are more'): first in
+        # log (insertion) order per (pt, kf)
+        key = rows[:, 0].astype(np.int64) * m.kf_pt.shape[0] + rows[:, 1]
+        _, first_idx = np.unique(key, return_index=True)
+        first = np.zeros(len(rows), bool)
+        first[first_idx] = True
+
+        for cand in cands:
+            if not m.kf_valid[cand]:
                 continue
             host_cand = m.kf_host(cand)
             if host_cand is None:
                 continue
-            lvl_cand = host_cand.level
             cams, slots = np.nonzero(m.kf_pt[cand] >= 0)
             if len(cams) == 0:
                 continue
-            redundant = 0
-            total = 0
-            levels_cache: dict[int, np.ndarray] = {}
-            for c, s in zip(cams, slots):
-                p = int(m.kf_pt[cand, c, s])
-                total += 1
-                obs = m.pt_obs.get(p, [])
-                if len(obs) <= KF_CULL_PREGATE_OBS:
-                    continue
-                own_lvl = int(lvl_cand[c, s])
-                n_finer = 0
-                seen_kfs = set()
-                for okf, ocam, oslot in obs:
-                    if okf == cand or okf in seen_kfs:
-                        continue
-                    seen_kfs.add(okf)
-                    lv = levels_cache.get(okf)
-                    if lv is None:
-                        ho = m.kf_host(okf)
-                        if ho is None:
-                            continue
-                        lv = ho.level
-                        levels_cache[okf] = lv
-                    if int(lv[ocam, oslot]) <= own_lvl + 1:
-                        n_finer += 1
-                        if n_finer >= KF_CULL_MIN_OBS:
-                            break
-                if n_finer >= KF_CULL_MIN_OBS:
-                    redundant += 1
-            if redundant > KF_CULL_REDUNDANT * total:
+            p_i = m.kf_pt[cand, cams, slots]
+            lvl_i = host_cand.level[cams, slots].astype(np.int32)
+            uniq, inv = np.unique(p_i, return_inverse=True)
+            pt_idx_of = np.full(m.pt_pos.shape[0], -1, np.int64)
+            pt_idx_of[uniq] = np.arange(len(uniq))
+            # per (uniq pt, level) histogram of first-per-KF rows of
+            # OTHER keyframes
+            selr = (first & ok_row & (rows[:, 1] != cand)
+                    & (pt_idx_of[rows[:, 0]] >= 0))
+            hist = np.zeros((len(uniq), self.n_levels), np.int32)
+            np.add.at(hist, (pt_idx_of[rows[selr, 0]],
+                             np.clip(lvl_row[selr], 0,
+                                     self.n_levels - 1)), 1)
+            cum = np.cumsum(hist, axis=1)
+            n_finer = cum[inv, np.clip(lvl_i + 1, 0, self.n_levels - 1)]
+            redundant = ((n_obs_per_pt[p_i] > KF_CULL_PREGATE_OBS)
+                         & (n_finer >= KF_CULL_MIN_OBS))
+            if redundant.sum() > KF_CULL_REDUNDANT * len(cams):
                 m.remove_keyframe(cand)
+                # removal invalidates the precomputed row tables for
+                # subsequent candidates only through rows of ``cand``
+                # itself; mask them out
+                dead = rows[:, 1] == cand
+                ok_row[dead] = False
+                first[dead] = False
+                n_obs_per_pt = n_obs_per_pt - np.bincount(
+                    rows[dead, 0], minlength=len(n_obs_per_pt))

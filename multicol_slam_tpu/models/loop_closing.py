@@ -272,14 +272,18 @@ class LoopCloser:
                                           nn_ratio=0.75)
         match = np.asarray(
             hm.resolve_duplicate_targets(match, best_d, d2.shape[0]))
-        for i in np.nonzero(match >= 0)[0]:
-            j = match[i]
-            c1, s1 = divmod(int(i), K)
-            c2, s2 = divmod(int(j), K)
-            p1 = int(m.kf_pt[kf1, c1, s1])
-            p2 = int(m.kf_pt[kf2, c2, s2])
-            if p1 >= 0 and p2 >= 0 and m.pt_valid[p1] and m.pt_valid[p2]:
-                pairs.append((p1, p2, c1, s1, c2, s2))
+        idx = np.nonzero(match >= 0)[0]
+        j = match[idx]
+        c1, s1 = np.divmod(idx, K)
+        c2, s2 = np.divmod(j, K)
+        p1 = m.kf_pt[kf1, c1, s1]
+        p2 = m.kf_pt[kf2, c2, s2]
+        ok = (p1 >= 0) & (p2 >= 0)
+        ok &= m.pt_valid[np.clip(p1, 0, None)] \
+            & m.pt_valid[np.clip(p2, 0, None)]
+        pairs.extend(zip(p1[ok].tolist(), p2[ok].tolist(),
+                         c1[ok].tolist(), s1[ok].tolist(),
+                         c2[ok].tolist(), s2[ok].tolist()))
         return pairs
 
     def bow_match_frame(self, kf: int, feats) -> list[tuple[int, int, int]]:
@@ -310,14 +314,12 @@ class LoopCloser:
         match = np.asarray(
             hm.resolve_duplicate_targets(match, best_d, int(desc2.shape[0])))
         K2 = feats.desc.shape[1]
-        out = []
-        for i in np.nonzero(match >= 0)[0]:
-            c1, s1 = divmod(int(i), K)
-            p = int(m.kf_pt[kf, c1, s1])
-            if p >= 0 and m.pt_valid[p]:
-                c2, s2 = divmod(int(match[i]), K2)
-                out.append((p, c2, s2))
-        return out
+        idx = np.nonzero(match >= 0)[0]
+        c1, s1 = np.divmod(idx, K)
+        p = m.kf_pt[kf, c1, s1]
+        ok = (p >= 0) & m.pt_valid[np.clip(p, 0, None)]
+        c2, s2 = np.divmod(match[idx[ok]], K2)
+        return list(zip(p[ok].tolist(), c2.tolist(), s2.tolist()))
 
     def _body_frame_points(self, kf: int, pt_ids) -> np.ndarray:
         M = se3_np.cayley2hom(self.map.kf_pose[kf])
@@ -448,41 +450,46 @@ class LoopCloser:
             jnp.asarray(pad(m.pt_desc_mask[cand_pts])),
             uv, jnp.asarray(ok), lvl, self.params, th=7.5,
             loose_desc=True))
-        out = []
-        for c in range(match.shape[0]):
-            for i in np.nonzero(match[c, :P] >= 0)[0]:
-                slot = int(match[c, i])
-                p1 = int(m.kf_pt[kf, c, slot])
-                p2 = int(cand_pts[i])
-                if p1 < 0 or not m.pt_valid[p1] or (p1, p2) in have:
-                    continue
-                # the reverse Sim3 edge is measured at p2's OWN
-                # observation in the candidate keyframe — the reference
-                # looks up GetIndexInKeyFrame(pKF2)
-                # (cOptimizerLoopStuff.cpp:128); the kf-side (cam, slot)
-                # indexes an unrelated candidate feature and would feed
-                # the optimizer a garbage reverse residual
-                obs2 = next(((c2, s2) for k2, c2, s2
-                             in m.pt_obs.get(p2, ()) if k2 == cand), None)
-                if obs2 is None:
-                    continue
-                out.append((p1, p2, c, slot, obs2[0], obs2[1]))
-        return out
+        # the reverse Sim3 edge is measured at p2's OWN observation in
+        # the candidate keyframe — the reference looks up
+        # GetIndexInKeyFrame(pKF2) (cOptimizerLoopStuff.cpp:128); the
+        # kf-side (cam, slot) indexes an unrelated candidate feature and
+        # would feed the optimizer a garbage reverse residual. First
+        # observation per point in insertion order, vectorized off the
+        # flat observation log.
+        rows = m.obs_rows()
+        rows = rows[rows[:, 1] == cand]
+        _, first = np.unique(rows[:, 0], return_index=True)
+        obs_cam = np.full(m.pt_pos.shape[0], -1, np.int32)
+        obs_slot = np.full(m.pt_pos.shape[0], -1, np.int32)
+        obs_cam[rows[first, 0]] = rows[first, 2]
+        obs_slot[rows[first, 0]] = rows[first, 3]
+
+        cidx, iidx = np.nonzero(match[:, :P] >= 0)
+        slots = match[cidx, iidx]
+        p1 = m.kf_pt[kf, cidx, slots]
+        p2 = cand_pts[iidx]
+        ok = (p1 >= 0) & m.pt_valid[np.clip(p1, 0, None)] & (obs_cam[p2] >= 0)
+        return [(int(a), int(b), int(c), int(s), int(c2), int(s2))
+                for a, b, c, s, c2, s2
+                in zip(p1[ok], p2[ok], cidx[ok], slots[ok],
+                       obs_cam[p2[ok]], obs_slot[p2[ok]])
+                if (int(a), int(b)) not in have]
 
     def _count_neighborhood_support(self, kf, cand, S12: Sim3) -> int:
         """Project landmarks of cand's covisible neighborhood into kf
         (through S12) and count additional consistent matches."""
         m = self.map
         neigh = m.covisible_keyframes(cand, best_n=10)
-        pts = set()
-        for nk in neigh:
-            arr = m.kf_pt[nk]
-            pts.update(int(p) for p in arr[arr >= 0] if m.pt_valid[p])
-        arr = m.kf_pt[cand]
-        pts -= set(int(p) for p in arr[arr >= 0])
-        if not pts:
+        if not neigh:
             return 0
-        pts = np.asarray(sorted(pts), np.int32)
+        arr = m.kf_pt[np.asarray(neigh, np.int64)]
+        pts = np.unique(arr[arr >= 0])
+        pts = pts[m.pt_valid[pts]]
+        own = m.kf_pt[cand]
+        pts = pts[~np.isin(pts, own[own >= 0])].astype(np.int32)
+        if len(pts) == 0:
+            return 0
         Xc_body = self._body_frame_points(cand, pts)
         Xk_body = np.asarray(S12.apply(jnp.asarray(Xc_body)))
         M_kf = se3_np.cayley2hom(m.kf_pose[kf])
@@ -623,15 +630,15 @@ class LoopCloser:
         # (3) SearchAndFuse BEFORE the pose graph so the new covisibility
         # links (LoopConnections) feed it, mirroring the reference order
         if self.fuser is not None:
-            loop_pts = set()
-            for nk in [loop_kf] + m.covisible_keyframes(loop_kf, best_n=10):
-                arr2 = m.kf_pt[nk]
-                loop_pts.update(int(p) for p in arr2[arr2 >= 0]
-                                if m.pt_valid[p])
-            loop_pts = np.asarray(sorted(loop_pts), np.int32)
-            for gkf in group:
-                if m.kf_valid[gkf]:
-                    self.fuser._fuse_points_into_kf(loop_pts, gkf)
+            nks = np.asarray(
+                [loop_kf] + m.covisible_keyframes(loop_kf, best_n=10),
+                np.int64)
+            arr2 = m.kf_pt[nks]
+            loop_pts = np.unique(arr2[arr2 >= 0])
+            loop_pts = loop_pts[m.pt_valid[loop_pts]].astype(np.int32)
+            # all corrected-group targets in ONE batched fuse dispatch
+            self.fuser.fuse_into_keyframes(
+                loop_pts, [g for g in group if m.kf_valid[g]])
 
         # (4) LoopConnections: links from group KFs created by the fusion
         loop_connections: list[tuple[int, int]] = [(kf, loop_kf)]

@@ -124,6 +124,9 @@ class MultiColSLAM:
         self._voc_retrained = False
 
         self.async_mapping = async_mapping
+        # wall-clock of each local-mapping pass (observability: the
+        # reference prints per-stage mapping progress banners)
+        self.mapping_ms: list[float] = []
         self._kf_queue: "queue.Queue[int]" = queue.Queue()
         self._mapper_thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
@@ -301,7 +304,10 @@ class MultiColSLAM:
         self._voc_corpus.clear()
 
     def _process_kf(self, kf: int):
+        import time
+        t0 = time.perf_counter()
         self.mapper.process_keyframe(kf)
+        self.mapping_ms.append((time.perf_counter() - t0) * 1e3)
         if self._enable_loops:
             self._ensure_loop_closer(kf)
             if self.loop_closer is not None:
