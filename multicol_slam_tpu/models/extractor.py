@@ -184,7 +184,17 @@ def make_extractor(cfg: ExtractorConfig, cams: CameraModel,
         patches_raw = brief.extract_patches(canvas, yx_canvas,
                                             brief.PATCH_R + 2)   # (K,53,53)
         angle = brief.ic_angle_patches(patches_raw)
-        patches_blur = brief.blur_patches_valid(patches_raw)     # (K,49,49)
+        # quantize the blur output to integers: the reference blurs the
+        # CV_8U level image, so its descriptor comparisons see uint8
+        # values (mdBRIEFextractorOct.cpp:1301). Beyond parity this is
+        # what makes the bits STABLE — near-equal pixels compare on
+        # integer values instead of sub-integer blur residue that flips
+        # with viewpoint noise (measured: un-quantized sampling loses
+        # tracking on the organic-loop episode) — and it makes the
+        # bf16 one-hot MXU sampling exact (integers <= 255 are exact
+        # in bf16's 8 mantissa bits).
+        patches_blur = jnp.round(
+            brief.blur_patches_valid(patches_raw))               # (K,49,49)
         if cfg.use_dbrief:
             undist = undistort_points(cam, xy_full, cam.p1)
             if cfg.learn_masks:

@@ -147,9 +147,18 @@ def _sample_patch_values(patches: jax.Array, offsets: jax.Array) -> jax.Array:
     TPU note: a fused double-gather (patch extraction + per-keypoint
     element gather) lowers to the scalar-gather path (~10 ms for 1.2M
     samples); expressing the row/column selection as one-hot bf16
-    matmuls runs on the MXU instead (~4x faster end to end). Patch
-    values <= 255 are exact in bf16; sub-integer blur residue only
-    perturbs comparisons of near-equal pixels.
+    matmuls runs on the MXU instead (~4x faster end to end).
+
+    Exactness contract: callers pass INTEGER-VALUED patches (the
+    extractor rounds the blur output, matching the reference's CV_8U
+    blurred level image, mdBRIEFextractorOct.cpp:1301). Integers
+    0..255 are exact in bf16's 8 mantissa bits, so the one-hot matmul
+    reproduces an exact gather bit-for-bit
+    (tests/test_extraction.py::test_bf16_sampling_bit_exactness).
+    Do NOT feed un-quantized blur values: their sub-integer residue
+    (multiples of 1/25) is beyond bf16 and, worse, makes descriptor
+    bits compare near-equal pixels on viewpoint-noise-level signal —
+    measured to destabilize tracking end to end.
     """
     k, p, _ = patches.shape
     off = jnp.clip(offsets, -(p // 2) + 1, p // 2 - 1)
