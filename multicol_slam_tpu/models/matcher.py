@@ -263,6 +263,39 @@ def fuse_candidates(feats: Features, has_point: jax.Array,
         uv_pred, pred_ok, pred_level)
 
 
+@functools.partial(jax.jit, static_argnames=("params", "th", "orb_dist"))
+def reloc_projection_match(feats: Features, has_point: jax.Array,
+                           pt_desc: jax.Array, pt_mask: jax.Array,
+                           uv_pred: jax.Array, pred_ok: jax.Array,
+                           pred_level: jax.Array, params: MatchParams,
+                           th: float = 10.0, orb_dist: int = 100):
+    """SearchByProjection(F, KF, sAlreadyFound, th, ORBdist) — the
+    relocalization-specific projection search (cORBmatcher.cpp:
+    2120-2263): project a candidate keyframe's landmarks at the refined
+    pose, window th*scale^predicted_level, octave window ±1, FREE frame
+    slots only, and an ABSOLUTE descriptor gate ORBdist (looser than
+    TH_HIGH — the refined pose is trusted, the descriptors straddle the
+    viewpoint gap). Candidate exclusion (sAlreadyFound) is encoded in
+    pred_ok by the caller. Returns (C, P) frame-slot index or -1."""
+    sf = params.scale_factor
+
+    def per_cam(fd, fm, fxy, flvl, fvalid, fhas, uv, ok, plvl):
+        dist = _dist_matrix(pt_desc, pt_mask, fd, fm, params.masked)
+        radius = th * sf ** plvl.astype(jnp.float32)
+        d2 = jnp.sum((fxy[None, :, :] - uv[:, None, :]) ** 2, -1)
+        gate = d2 <= (radius ** 2)[:, None]
+        gate &= (flvl[None, :] >= (plvl - 1)[:, None]) & \
+                (flvl[None, :] <= (plvl + 1)[:, None])
+        gate &= fvalid[None, :] & (~fhas)[None, :]
+        gate &= ok[:, None]
+        match, best_d = hm.gated_nn_match(dist, gate, max_dist=orb_dist)
+        return hm.resolve_duplicate_targets(match, best_d, fd.shape[0])
+
+    return jax.vmap(per_cam)(
+        feats.desc, feats.desc_mask, feats.xy, feats.level, feats.valid,
+        has_point, uv_pred, pred_ok, pred_level)
+
+
 # candidate-set size beyond which the streaming Pallas kernel beats the
 # XLA dense-distance-matrix path (measured on TPU v5e, see bench)
 PALLAS_MIN_CANDIDATES = 2048

@@ -450,13 +450,14 @@ class Tracker:
             if has.sum() >= 20:
                 motion_in = (pts, has)
                 # local-map snapshot voted by the LAST frame's (just
-                # resolved) associations: lets the whole WORKING frame
-                # run as ONE fused dispatch (working_track_step). Vote
-                # only with the CLEAN slots (``has`` already excludes
-                # LM outliers, dead landmarks and duplicate slots) so
-                # flagged associations never select local keyframes
-                lm_in = self._local_map_snapshot(
-                    np.where(has, self.last_pt, -1))
+                # resolved, by _gather_last_slot_points) associations:
+                # lets the whole WORKING frame run as ONE fused dispatch
+                # (working_track_step). Outlier-flagged slots DO vote —
+                # the reference's UpdateReferenceKeyFrames counts every
+                # non-bad mvpMapPoint without consulting mvbOutlier
+                # (cTracking.cpp:1055-1075); dead/merged ids are handled
+                # by the resolve + the voter's pt_valid filter
+                lm_in = self._local_map_snapshot(self.last_pt)
 
         if motion_in is None:
             with self.timers.time("feature_extraction"):
@@ -1185,16 +1186,77 @@ class Tracker:
         n_assoc = int(((self.cur_pt >= 0) & ~self.cur_outlier).sum())
         if self.cfg.reloc_second_chance and (not ok or n_assoc < 50):
             # SECOND-CHANCE round: the first fit was weak (or failed) —
-            # re-match the candidate neighborhood's landmarks by
-            # PROJECTION with widened windows from the refined pose and
-            # re-optimize (ORB-SLAM's second relocalization round; the
-            # reference inherits the machinery via SearchByProjection(F,
-            # KF, sFound, th, ORBdist), cORBmatcher.cpp:2120, and accepts
-            # a fit at >=10 inliers, cTracking.cpp:1284-1297)
-            ok = self._track_local_map(th=10.0, update_counters=False) or ok
+            # project the CANDIDATE KEYFRAME's landmarks at the refined
+            # pose with widened windows and the loose ORBdist gate, then
+            # re-optimize (SearchByProjection(F, KF, sFound, th,
+            # ORBdist), cORBmatcher.cpp:2120-2263; accept a fit at >=10
+            # inliers per cTracking.cpp:1284-1297)
+            if self._reloc_project_candidate(kf) > 0:
+                ok = self._optimize_current_pose(self.cur_mt, 10) or ok
+                n_assoc = int(((self.cur_pt >= 0)
+                               & ~self.cur_outlier).sum())
+            if not ok or n_assoc < 50:
+                # widened local-map re-match (fallback: helps when BoW
+                # aliased to a neighbouring keyframe of the right place)
+                ok = self._track_local_map(th=10.0,
+                                           update_counters=False) or ok
         if ok:
             self.last_reloc_frame = self.frame_id
         return ok
+
+    def _reloc_project_candidate(self, kf: int) -> int:
+        """Project candidate keyframe ``kf``'s landmarks into the frame
+        at the current (refined) pose and associate free slots — the
+        reloc-specific SearchByProjection (cORBmatcher.cpp:2120-2263).
+        Landmarks already associated (sAlreadyFound) are excluded.
+        Returns the number of NEW associations."""
+        m = self.map
+        arr = m.kf_pt[kf]
+        cand = np.unique(arr[arr >= 0])
+        cand = cand[m.pt_valid[cand]]
+        found = self.cur_pt[self.cur_pt >= 0]
+        if len(found):
+            cand = cand[~np.isin(cand, found)]
+        if len(cand) == 0:
+            return 0
+        P = len(cand)
+        cap = bucket(P, 128)
+        pad = lambda a, fill=0: np.concatenate(
+            [a, np.full((cap - P,) + a.shape[1:], fill, a.dtype)], 0)
+        self._dispatch_n += 1
+        uv, ok, lvl, _ = frustum_check(
+            self.rig, jnp.asarray(self.cur_mt),
+            jnp.asarray(pad(m.pt_pos[cand])),
+            jnp.asarray(pad(m.pt_normal[cand])),
+            jnp.asarray(pad(m.pt_min_dist[cand])),
+            jnp.asarray(pad(m.pt_max_dist[cand], 1.0)),
+            n_levels=self.cfg.n_levels, scale_factor=self.cfg.scale_factor,
+            # generous distance slack: the pose was just recovered from
+            # a LOST episode (the reference's reloc search gates only on
+            # the mirror mask, cORBmatcher.cpp:2160)
+            dist_slack=4.0)
+        ok = np.array(ok)
+        ok[:, P:] = False
+        # ORBdist: the classic 100-per-256-bit loose gate, scaled to the
+        # descriptor size (masked distances are halved by construction)
+        orb_dist = int(round((50 if self.params.masked else 100)
+                             * self.cfg.desc_bytes / 32))
+        self._dispatch_n += 1
+        match = np.asarray(matcher.reloc_projection_match(
+            self.cur_feats, jnp.asarray(self.cur_pt >= 0),
+            jnp.asarray(pad(m.pt_desc[cand])),
+            jnp.asarray(pad(m.pt_desc_mask[cand])),
+            uv, jnp.asarray(ok), lvl, self.params, th=10.0,
+            orb_dist=orb_dist))
+        n_new = 0
+        C = match.shape[0]
+        for c in range(C):
+            sel = np.nonzero(match[c, :P] >= 0)[0]
+            slots = match[c, sel]
+            free = self.cur_pt[c, slots] < 0
+            self.cur_pt[c, slots[free]] = cand[sel[free]]
+            n_new += int(free.sum())
+        return n_new
 
     # ------------------------------------------------------------------
 

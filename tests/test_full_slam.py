@@ -157,3 +157,15 @@ def test_reloc_second_chance_recovers_weak_match_set(slam_run):
             "corrupted half-set should defeat the single-pass fit"
         assert run_reloc(second_chance=True), \
             "widened-window projection round should recover"
+        # the per-candidate projection matcher ALONE (widened local-map
+        # fallback disabled) must also recover — the reference's
+        # SearchByProjection(F, KF, sFound, th, ORBdist) reloc round
+        # (cORBmatcher.cpp:2120-2263, accept >= 10 inliers per
+        # cTracking.cpp:1284-1297)
+        orig_tlm = tr._track_local_map
+        tr._track_local_map = lambda *a, **k: False
+        try:
+            assert run_reloc(second_chance=True), \
+                "per-candidate projection matcher should recover alone"
+        finally:
+            tr._track_local_map = orig_tlm
