@@ -104,8 +104,19 @@ def _ray_box_exit(origin: jax.Array, direction: jax.Array,
 
 def make_renderer(rig: Rig, dtype=jnp.float32, room_half=None,
                   door_wall: dict | list[dict] | None = None,
-                  place_texture: bool = False):
+                  place_texture: bool = False,
+                  distractors: list[dict] | None = None):
     """Returns render(M_t) -> (n_cams, H, W) float32 images in [0, 255].
+
+    ``distractors``: moving RIGID objects for dynamic-scene stress (the
+    reference's benchmark sequence is Lafida "indoor DYNAMIC" — moving
+    people, README.md:242-247). Each dict {center (3,), velocity (3,),
+    radius} is a textured sphere whose position at render time is
+    center + time * velocity; the texture is sampled in the sphere's
+    LOCAL frame (plus a per-sphere offset), so its features move
+    rigidly with the object — exactly the non-static content the
+    tracker's outlier gates must reject. Pass the frame time as
+    ``render(M_t, time)``.
 
     Per-camera pixel rays are precomputed once (camera intrinsics are
     static); each frame is two batched ops: rotate rays into world +
@@ -161,7 +172,8 @@ def make_renderer(rig: Rig, dtype=jnp.float32, room_half=None,
     lat = _lattice()
 
     @jax.jit
-    def render_impl(M_t: jax.Array, rays: jax.Array) -> jax.Array:
+    def render_impl(M_t: jax.Array, rays: jax.Array,
+                    time: jax.Array = jnp.float32(0.0)) -> jax.Array:
         T = mt_mc(M_t, rig.M_c)                      # (N,4,4) cam->world
         R = T[:, :3, :3]
         C = T[:, :3, 3]                               # camera centres
@@ -214,22 +226,45 @@ def make_renderer(rig: Rig, dtype=jnp.float32, room_half=None,
             off = jnp.stack([jnp.zeros_like(dz), jnp.zeros_like(dz),
                              0.04 * jnp.sign(dz)], -1)
             bias = jnp.where(won[..., None], off, bias)
+        # moving rigid distractors: ray-sphere, texture in LOCAL frame
+        for i, dsc in enumerate(distractors or []):
+            c = jnp.asarray(dsc["center"], rays_w.dtype) \
+                + time * jnp.asarray(dsc["velocity"], rays_w.dtype)
+            r = float(dsc["radius"])
+            oc = o - c
+            b = jnp.einsum("...i,...i->...", rays_w, oc)
+            cq = jnp.einsum("...i,...i->...", oc, oc) - r * r
+            disc = b * b - cq
+            t_s = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
+            won = (disc > 0) & (t_s > 1e-4) & (t_s < t)
+            t = jnp.where(won, t_s, t)
+            # texture rides the object: shift the sample point into the
+            # sphere's local frame (+ per-sphere offset for distinct
+            # appearance); clears any wall bias where the sphere wins
+            off = jnp.asarray([7.1 * (i + 1), -3.3 * (i + 1), 1.7],
+                              rays_w.dtype)
+            bias = jnp.where(won[..., None], off - c, bias)
         hits = o + t[..., None] * rays_w + bias
         img = _texture3d(hits, jnp.asarray(lat), place_texture)
         return jnp.clip(img, 0.0, 255.0)
 
     rays_dev = jax.device_put(rays_cam)
-    render_batch_impl = jax.jit(jax.vmap(render_impl, in_axes=(0, None)))
+    render_batch_impl = jax.jit(jax.vmap(render_impl, in_axes=(0, None, 0)))
 
-    def render(M_t: jax.Array) -> jax.Array:
+    def render(M_t: jax.Array, time=None) -> jax.Array:
         """(4,4) pose -> (n_cams,H,W) frame; (B,4,4) poses -> a
         (B,n_cams,H,W) batch rendered in ONE dispatch (each separate
         dispatch through a remote-accelerator link risks a stall, so
-        sequence producers prefer one batched call)."""
+        sequence producers prefer one batched call). ``time``: frame
+        time(s) driving distractor motion (scalar, or (B,) for a batch;
+        default 0)."""
         M_t = jnp.asarray(M_t)
         if M_t.ndim == 3:
-            return render_batch_impl(M_t, rays_dev)
-        return render_impl(M_t, rays_dev)
+            tt = jnp.zeros(M_t.shape[0], jnp.float32) if time is None \
+                else jnp.asarray(time, jnp.float32)
+            return render_batch_impl(M_t, rays_dev, tt)
+        tt = jnp.float32(0.0 if time is None else time)
+        return render_impl(M_t, rays_dev, tt)
 
     return render
 
