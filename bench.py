@@ -98,7 +98,7 @@ def _ring_rig(n_cams=8):
     return rig_ops.rig_from_cayley(mc.astype(np.float32), cams)
 
 
-def _make_extract_and_frames(n_frames=12, rig=None):
+def _make_extract_and_frames(n_frames=12, rig=None, use_mdbrief=False):
     import jax
     import jax.numpy as jnp
     from multicol_slam_tpu.models import extractor as ext
@@ -113,7 +113,9 @@ def _make_extract_and_frames(n_frames=12, rig=None):
         masks.append(make_extraction_masks(float(cam.u0), float(cam.v0),
                                            754, 480, N_LEVELS, 1.2))
     masks_lvl = [np.stack([m[l] for m in masks]) for l in range(N_LEVELS)]
-    cfg = ext.ExtractorConfig(n_features=N_FEATURES, n_levels=N_LEVELS)
+    cfg = ext.ExtractorConfig(n_features=N_FEATURES, n_levels=N_LEVELS,
+                              use_dbrief=use_mdbrief,
+                              learn_masks=use_mdbrief)
     extract = ext.make_extractor(cfg, rig.cams, masks_lvl, (480, 754))
     render = synthetic.make_renderer(rig)
     gt = synthetic.smooth_trajectory(100, radius=0.6)
@@ -133,10 +135,17 @@ def _make_extract_and_frames(n_frames=12, rig=None):
 # (a) full-system fps: the primary metric
 # ---------------------------------------------------------------------------
 
-def bench_full_system(n_frames=90):
+def bench_full_system(n_frames=90, async_mapping=True):
     """Run the COMPLETE pipeline (keyframes, mapping, BA, loop closer)
     twice over the same synthetic sequence: pass 1 warms every jit
     bucket, pass 2 is timed end to end.
+
+    async_mapping=True exercises the production pipeline split: local
+    mapping runs on the worker thread with the reference's
+    AcceptMultiKeyFrames/InterruptBA backpressure (cSystem.cpp:96-110,
+    cTracking.cpp:922-935), so keyframe frames no longer stall the
+    tracker for a full mapping pass. mapping_ms_median reports the
+    concurrent mapping pass cost alongside.
 
     The sequence is bench_trajectory: a deliberate lateral opening for
     bootstrap parallax, then the smooth arc — mirroring the reference's
@@ -164,7 +173,8 @@ def bench_full_system(n_frames=90):
 
     def one_pass(timed, upto):
         slam = MultiColSLAM(CALIB, settings=settings,
-                            capacity_pts=30000, capacity_kfs=128)
+                            capacity_pts=30000, capacity_kfs=128,
+                            async_mapping=async_mapping)
         render = synthetic.make_renderer(slam.rig)
         # device-resident frames, chunk-batched renders: see
         # _make_extract_and_frames (chunks bound device memory)
@@ -194,11 +204,12 @@ def bench_full_system(n_frames=90):
                 done = t + 1      # truncate: enough buckets warmed
                 break
         total = time.perf_counter() - t_start
-        slam.shutdown()
+        slam.shutdown()     # drains the worker (<=1 keyframe in flight)
         if not timed:
             return done
         stage = {k: round(v["median_ms"], 2)
                  for k, v in slam.tracker.timers.summary().items()}
+        map_ms = slam.mapping_ms
         ate = -1.0
         if len(est) > 3:
             ep = np.stack([M[:3, 3] for M in est])
@@ -243,7 +254,14 @@ def bench_full_system(n_frames=90):
             n_keyframes=slam.map.n_keyframes(),
             n_points=slam.map.n_points(),
             ate_m=round(ate, 4),
-            stage_ms=stage)
+            stage_ms=stage,
+            async_mapping=async_mapping,
+            # concurrent local-mapping pass cost (triangulation + fuse +
+            # local BA + culling, now batched dispatches)
+            mapping_ms_median=(round(float(np.median(map_ms)), 1)
+                               if map_ms else -1),
+            mapping_ms_p90=(round(float(np.percentile(map_ms, 90)), 1)
+                            if map_ms else -1))
 
     warmed = one_pass(timed=False, upto=n_frames)
     return one_pass(timed=True, upto=warmed)
@@ -253,7 +271,7 @@ def bench_full_system(n_frames=90):
 # (b) hot-loop fps (round-1 headline, kept for continuity)
 # ---------------------------------------------------------------------------
 
-def bench_hot_loop(rig=None, n_reps=4):
+def bench_hot_loop(rig=None, n_reps=4, use_mdbrief=False):
     """Device-TIMED tracking hot loop: a lax.scan over the frame batch
     runs extraction + frame-to-frame matching + pose LM for EVERY frame
     inside ONE dispatch, so the measured fps is pure device throughput —
@@ -272,8 +290,9 @@ def bench_hot_loop(rig=None, n_reps=4):
     from multicol_slam_tpu.ops.rig import mt_mc
     from multicol_slam_tpu.utils import synthetic
 
-    rig, extract, frames, gt = _make_extract_and_frames(rig=rig)
-    params = matcher.MatchParams(desc_bytes=32)
+    rig, extract, frames, gt = _make_extract_and_frames(
+        rig=rig, use_mdbrief=use_mdbrief)
+    params = matcher.MatchParams(desc_bytes=32, masked=use_mdbrief)
     K_OBS = 1024
     n_frames = len(frames)
     frames = [jnp.asarray(f) for f in frames]
@@ -377,24 +396,22 @@ def bench_eight_cam():
 # ---------------------------------------------------------------------------
 
 def bench_production_tracker(n_build=48, snap_at=24, n_scan=20, n_reps=4):
-    """Device-timed throughput of the PRODUCTION WORKING-frame path
-    (VERDICT r3 item 6): a lax.scan whose body is the same chain the
-    system's single fused WORKING dispatch (tracking.working_track_step)
-    traces — extraction + motion-model match + pose LM
-    (_motion_track_core) then frustum check + local-map match + pose LM
-    (_local_map_core) — against a REAL map built by the system itself
-    on the bench trajectory. Unlike the round-1..3 kernel loop
-    (kept as kernel_loop_fps) nothing is synthetic: same jaxprs, same
-    thresholds (motion_th=15, local_map_th=3), same map content.
+    """Device-timed throughput of the PRODUCTION WORKING-frame path:
+    a lax.scan whose body CALLS tracking.working_track_step — the exact
+    fused dispatch the system issues per WORKING frame (extraction +
+    motion-model match + pose LM + frustum check + local-map match +
+    pose LM, including the on-device candidate-exclusion mask) — against
+    a REAL map built by the system itself on the bench trajectory.
+    Nothing is synthetic and nothing is approximated: same jaxpr, same
+    thresholds (motion_th=15, local_map_th=3), same map content; the
+    scan carries the slot->local-point table so the exclusion input
+    (lp_slot) is reconstructed on-device exactly as the host builds it.
 
     Protocol: run the full system for n_build frames (this also warms
     the system's jit buckets for the later full_system stage), snapshot
     the tracker's slot associations + pose + velocity at frame snap_at,
     freeze the final map as the local-map snapshot, then scan the
-    production body over frames snap_at+1..snap_at+n_scan. The scan
-    carries (Features, slot positions, pose, velocity) exactly like the
-    host rolls frame state (tracking.py track()); landmark positions are
-    carried by slot so the device never needs the host's id tables.
+    production body over frames snap_at+1..snap_at+n_scan.
 
     Returns (fps, diag dict). Raises if the build never reaches steady
     WORKING tracking — the caller falls back to the kernel loop."""
@@ -471,49 +488,69 @@ def bench_production_tracker(n_build=48, snap_at=24, n_scan=20, n_reps=4):
     alive[has0] = m.pt_valid[snap_pt[has0]]
     slot_X0 = np.zeros((C, K, 3), np.float32)
     slot_X0[alive] = m.pt_pos[snap_pt[alive]]
+    # slot -> index into the frozen local map (the production host keeps
+    # this as cur_pt landmark ids; by-index here so the device never
+    # needs the id tables)
+    id_to_lp = np.full(m.pt_pos.shape[0], -1, np.int32)
+    id_to_lp[ids] = np.arange(P, dtype=np.int32)
+    slot_lp0 = np.full((C, K), -1, np.int32)
+    slot_lp0[alive] = id_to_lp[snap_pt[alive]]
     n_kf, n_pts = m.n_keyframes(), m.n_points()
     slam.shutdown()
 
     params = tr.params
     extract = tr.extract
 
-    def scatter_slots(tgt, got, src_X):
-        """Scatter per-camera: cur slot tgt[k] <- src_X[k] where got[k]
-        (the host's cur_pt[c, match[c, sel]] = last_pt[c, sel] roll,
-        tracking.py _track_with_motion_model)."""
-        def one(t, g, x):
-            t = jnp.where(g, t, K)          # dump misses past the end
-            sx = jnp.zeros((K + 1, 3), jnp.float32).at[t].set(x)
-            sh = jnp.zeros(K + 1, bool).at[t].set(g)
-            return sx[:K], sh[:K]
-        return jax.vmap(one)(tgt, got, src_X)
+    def scatter_slots(tgt, vals, fill):
+        """Scatter per-camera through the match (the host's
+        cur_pt[c, match[c, sel]] = last_pt[c, sel] roll); indices already
+        dumped past the end where not kept."""
+        def one(t, v):
+            sx = jnp.full((K + 1,) + v.shape[1:], fill, v.dtype) \
+                .at[t].set(v, mode="drop")
+            return sx[:K]
+        return jax.vmap(one)(tgt, vals)
 
     def body(carry, img):
-        last_feats, slot_X, slot_has, mt, V = carry
+        last_feats, slot_X, slot_lp, slot_has, mt, V = carry
         M_last = geo.cayley2hom(mt)
         mt_pred = geo.hom2cayley(M_last @ V)
-        # dispatch 1 of the production WORKING path
-        out = tracking.extract_motion_track_step(
+        # lp_slot (cap, C): local-point -> last-frame slot, the inverse
+        # of the carried slot_lp — the same table the host hands the
+        # fused dispatch for on-device candidate exclusion
+        def inv_one(lp_c):
+            idx = jnp.where(lp_c >= 0, lp_c, cap)
+            return jnp.full((cap + 1,), -1, jnp.int32).at[idx].set(
+                jnp.arange(K, dtype=jnp.int32), mode="drop")[:cap]
+        lp_slot = jax.vmap(inv_one)(slot_lp).T        # (cap, C)
+        out = tracking.working_track_step(
             extract, rig, img, mt_pred, slot_X, slot_has, last_feats,
-            params, th=cfg.motion_th)
-        cur, match, mt1, inlier, n_in1, n_m, _ = out
-        got = (match >= 0) & inlier & slot_has
-        sX1, sh1 = scatter_slots(jnp.clip(match, 0), got, slot_X)
-        # dispatch 2 of the production WORKING path
-        out2 = tracking.local_map_track_step(
-            rig, mt1, X_loc, normal, mind, maxd, cand_ok, desc, dmask,
-            cur, sh1, sX1, sh1, params, th=cfg.local_map_th,
+            lp_slot, X_loc, normal, mind, maxd, cand_ok, desc, dmask,
+            params, th_motion=cfg.motion_th, th_local=cfg.local_map_th,
             n_levels=cfg.n_levels, scale_factor=cfg.scale_factor)
-        _, match2, mt2, inl_slot, inl_new, n_in2, _ = out2
+        (cur, match1, mt1, inl1, n_in1, n_m1, it1,
+         fr_ok, match2, mt2, inl_slot, inl_new, n_in2, it2) = out
+        # roll the slot state exactly like the host bookkeeping
+        keep = (match1 >= 0) & inl1 & slot_has
+        tgt1 = jnp.where(keep, jnp.clip(match1, 0), K)
+        sX1 = scatter_slots(tgt1, slot_X, 0.0)
+        slp1 = scatter_slots(tgt1, slot_lp, -1)
+        sh1 = scatter_slots(tgt1, keep, False)
         got2 = (match2 >= 0) & inl_new
-        src2 = jnp.broadcast_to(X_loc[None], (C,) + X_loc.shape)
-        sX2, sh2 = scatter_slots(jnp.clip(match2, 0), got2, src2)
-        keep = sh1 & inl_slot
-        nxt_X = jnp.where(keep[..., None], sX1, sX2)
-        nxt_has = keep | sh2
+        tgt2 = jnp.where(got2, jnp.clip(match2, 0), K)
+        src_X = jnp.broadcast_to(X_loc[None], (C,) + X_loc.shape)
+        src_lp = jnp.broadcast_to(
+            jnp.arange(cap, dtype=jnp.int32)[None], (C, cap))
+        sX2 = scatter_slots(tgt2, src_X, 0.0)
+        slp2 = scatter_slots(tgt2, src_lp, -1)
+        sh2 = scatter_slots(tgt2, got2, False)
+        keep_slot = sh1 & inl_slot
+        nxt_X = jnp.where(keep_slot[..., None], sX1, sX2)
+        nxt_lp = jnp.where(keep_slot, slp1, slp2)
+        nxt_has = keep_slot | sh2
         M_cur = geo.cayley2hom(mt2)
         V_new = geo.inv_se3(M_last) @ M_cur
-        return (cur, nxt_X, nxt_has, mt2, V_new), n_in2
+        return (cur, nxt_X, nxt_lp, nxt_has, mt2, V_new), n_in2
 
     @jax.jit
     def device_loop(stacked, carry0):
@@ -521,8 +558,8 @@ def bench_production_tracker(n_build=48, snap_at=24, n_scan=20, n_reps=4):
 
     stacked = jnp.stack([jnp.asarray(f)
                          for f in frames[snap_at + 1:snap_at + 1 + n_scan]])
-    carry0 = (snap_feats, jnp.asarray(slot_X0), jnp.asarray(alive),
-              jnp.asarray(snap_mt, jnp.float32),
+    carry0 = (snap_feats, jnp.asarray(slot_X0), jnp.asarray(slot_lp0),
+              jnp.asarray(alive), jnp.asarray(snap_mt, jnp.float32),
               jnp.asarray(snap_V, jnp.float32))
     (carry, n_ins) = device_loop(stacked, carry0)
     jax.block_until_ready(n_ins)
@@ -533,8 +570,8 @@ def bench_production_tracker(n_build=48, snap_at=24, n_scan=20, n_reps=4):
     # cache-busting reps + fetch-all: see bench_hot_loop — identical
     # repeated calls are deduped by the remote client and time ~0
     def _carry_eps(rep):
-        f, sx, sh, mt, V = carry0
-        return (f, sx, sh, mt + jnp.float32((rep + 1) * 1e-7), V)
+        f, sx, slp, sh, mt, V = carry0
+        return (f, sx, slp, sh, mt + jnp.float32((rep + 1) * 1e-7), V)
     t0 = time.time()
     outs = [device_loop(stacked, _carry_eps(rep)) for rep in range(n_reps)]
     for o in outs:
@@ -746,6 +783,155 @@ def bench_chi2_parity():
 
 
 # ---------------------------------------------------------------------------
+# (e) the remaining BASELINE.json headline metrics
+# ---------------------------------------------------------------------------
+
+def bench_extraction_rate(n_reps=3, n_frames=8):
+    """BASELINE.json 'Mkeypoints/sec extraction': device-timed lax.scan
+    of the PRODUCTION extractor (pyramid + FAST + bucketed top-k +
+    IC_Angle + ORB descriptors, 3 cams x 754x480 x 8 levels) over the
+    frame batch; keypoints = valid detections after selection."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    rig, extract, frames, _ = _make_extract_and_frames(n_frames=n_frames)
+    stacked = jnp.stack([jnp.asarray(f) for f in frames])
+    T = stacked.shape[0]
+
+    @jax.jit
+    def batch(stk, eps):
+        def body(c, img):
+            f = extract(img + eps)     # eps: cache-buster (see hot loop)
+            return c, jnp.sum(f.valid)
+        return lax.scan(body, jnp.int32(0), stk)[1]
+
+    counts = batch(stacked, jnp.float32(0.0))
+    jax.block_until_ready(counts)
+    ts = []
+    for rep in range(n_reps):
+        t0 = time.perf_counter()
+        counts = np.asarray(batch(stacked, jnp.float32((rep + 1) * 1e-6)))
+        ts.append(time.perf_counter() - t0)
+    sec = float(np.median(ts))
+    kps = float(counts.sum())
+    return dict(mkeypoints_per_sec=round(kps / sec / 1e6, 3),
+                extraction_kps_per_frame=round(kps / T, 1),
+                extraction_ms_per_frame=round(sec / T * 1e3, 3))
+
+
+def bench_ba_rate(n_reps=3, n_kf=16, n_pt=2048):
+    """BASELINE.json 'BA iterations/sec': device-timed sparse-Schur LM
+    at LOCAL-BA scale (n_kf keyframes x n_pt points x <=8 obs/pt — the
+    cOptimizer::LocalBundleAdjustment workload shape) with early
+    termination disabled so the iteration denominator is exact."""
+    import jax
+    import jax.numpy as jnp
+    from multicol_slam_tpu.models import optimizer as opt
+    from multicol_slam_tpu.utils import config_io, synthetic
+
+    rig, _ = config_io.load_mcs(CALIB, dtype=np.float32)
+    mt, X, uv, kf, cam, pt, valid, pt_obs = synthetic.make_ba_problem(
+        rig, n_kf, n_pt)
+    obs = opt.BAObservations(
+        uv=jnp.asarray(uv), kf=jnp.asarray(kf), cam=jnp.asarray(cam),
+        pt=jnp.asarray(pt), inv_sigma2=jnp.ones(len(uv)),
+        valid=jnp.asarray(valid))
+    problem = opt.BAProblem(
+        obs=obs, pt_obs=jnp.asarray(pt_obs),
+        fixed_kf=jnp.asarray([True] + [False] * (n_kf - 1)),
+        fixed_pt=jnp.zeros(n_pt, bool))
+    rng = np.random.default_rng(1)
+    mt0 = mt + rng.standard_normal(mt.shape) * 0.01
+    mt0[0] = mt[0]
+    X0 = X + rng.standard_normal(X.shape) * 0.05
+    ITERS = 10
+
+    def run(eps):
+        return opt.bundle_adjustment(
+            rig, jnp.asarray(mt0) + eps, jnp.asarray(X0), problem,
+            iters=ITERS, early_stop=False)
+
+    out = run(0.0)
+    jax.block_until_ready(out)
+    ts = []
+    for rep in range(n_reps):
+        t0 = time.perf_counter()
+        np.asarray(run((rep + 1) * 1e-7)[2])
+        ts.append(time.perf_counter() - t0)
+    per_iter = float(np.median(ts)) / ITERS
+    return dict(ba_iters_per_sec=round(1.0 / per_iter, 1),
+                ba_iter_ms=round(per_iter * 1e3, 2),
+                ba_rate_n_obs=int(len(uv) - 1),
+                ba_rate_shape=f"{n_kf}kf x {n_pt}pt")
+
+
+def bench_mdbrief(n_reps=2):
+    """mdBRIEF-enabled hot-loop variant (use_mdbrief + learned masks,
+    mdBRIEFextractorOct.cpp:250-554): the 2-3x heavier descriptor path
+    the north star names, through the same extraction + masked-Hamming
+    matching + pose-LM loop."""
+    fps, host = bench_hot_loop(n_reps=n_reps, use_mdbrief=True)
+    return dict(mdbrief_loop_fps=fps, mdbrief_loop_host_fps=host)
+
+
+def bench_pallas_threshold(n_reps=3):
+    """Justify matcher.PALLAS_MIN_CANDIDATES (VERDICT r4 housekeeping):
+    time the dense-XLA fuse path vs the streaming Pallas kernel at the
+    production candidate-bucket sizes."""
+    import jax
+    import jax.numpy as jnp
+    from multicol_slam_tpu.models import matcher
+    from multicol_slam_tpu.models.tracking import frustum_check
+    from multicol_slam_tpu.utils import config_io
+
+    if jax.default_backend() != "tpu":
+        return {}
+    rig, _ = config_io.load_mcs(CALIB, dtype=np.float32)
+    rng = np.random.default_rng(0)
+    params = matcher.MatchParams(desc_bytes=32)
+    C, K = 3, 1024
+    from multicol_slam_tpu.models.extractor import Features
+    W = 8
+    feats = Features(
+        xy=jnp.asarray(rng.uniform(0, 700, (C, K, 2)), jnp.float32),
+        level=jnp.asarray(rng.integers(0, 8, (C, K)), jnp.int32),
+        angle=jnp.zeros((C, K), jnp.float32),
+        response=jnp.zeros((C, K), jnp.float32),
+        ray=jnp.zeros((C, K, 3), jnp.float32),
+        desc=jnp.asarray(rng.integers(0, 2**32, (C, K, W), np.uint32)),
+        desc_mask=jnp.full((C, K, W), 0xFFFFFFFF, jnp.uint32),
+        valid=jnp.ones((C, K), bool))
+    out = {}
+    for P in (512, 1024, 2048):
+        pt_desc = jnp.asarray(rng.integers(0, 2**32, (P, W), np.uint32))
+        pt_mask = jnp.full((P, W), 0xFFFFFFFF, jnp.uint32)
+        uv = jnp.asarray(rng.uniform(0, 700, (C, P, 2)), jnp.float32)
+        ok = jnp.ones((C, P), bool)
+        lvl = jnp.asarray(rng.integers(0, 8, (C, P)), jnp.int32)
+        occ = jnp.zeros((C, K), bool)
+        for name, fn in (("dense", matcher.fuse_candidates),
+                         ("pallas", matcher.fuse_candidates_fused)):
+            try:
+                r = fn(feats, occ, pt_desc, pt_mask, uv, ok, lvl, params)
+                jax.block_until_ready(r)
+                ts = []
+                for rep in range(n_reps):
+                    uv_r = uv + jnp.float32((rep + 1) * 1e-4)
+                    t0 = time.perf_counter()
+                    np.asarray(fn(feats, occ, pt_desc, pt_mask, uv_r, ok,
+                                  lvl, params))
+                    ts.append(time.perf_counter() - t0)
+                out[f"fuse_{name}_{P}_ms"] = round(
+                    float(np.median(ts)) * 1e3, 3)
+            except Exception as e:
+                out[f"fuse_{name}_{P}_ms"] = -1.0
+                print(f"# bench: fuse {name} P={P} failed: {e!r}",
+                      file=sys.stderr, flush=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
 
 def bench_dispatch_rtt():
     """Median round-trip of a trivial jit call: the latency floor every
@@ -837,22 +1023,29 @@ def main():
         extra["kernel_loop_host_fps"] = khost
         extra["headline_method"] = "kernel_standin"
         _emit(fps, dict(extra))
-    extra.update(stage(bench_full_system, 120, "full_system"))
+    extra.update(stage(bench_full_system, 100, "full_system"))
     _emit(fps, dict(extra))
-    extra.update(stage(bench_dispatch_rtt, 20, "dispatch_rtt"))
-    extra.update(stage(bench_chi2_parity, 60, "chi2_parity"))
+    # cheap diagnostics + the two remaining BASELINE.json headline
+    # metrics run BEFORE the comparison stages so the official artifact
+    # always carries them (VERDICT r4 items 2-3: no skipped stages)
+    extra.update(stage(bench_dispatch_rtt, 10, "dispatch_rtt"))
+    extra.update(stage(bench_extraction_rate, 25, "extraction_rate"))
+    extra.update(stage(bench_ba_rate, 25, "ba_rate"))
     _emit(fps, dict(extra))
-    extra.update(stage(bench_cpu_compare, 90, "cpu_compare"))
+    # the 8-cam stretch figure (BASELINE.json configs[4])
+    extra.update(stage(bench_eight_cam, 40, "eight_cam"))
     _emit(fps, dict(extra))
-    # the 8-cam stretch figure outranks the r1-3 kernel continuity
-    # number (BASELINE.json's stretch row cites it), so it runs first
-    extra.update(stage(bench_eight_cam, 45, "eight_cam"))
+    extra.update(stage(bench_chi2_parity, 30, "chi2_parity"))
+    extra.update(stage(bench_mdbrief, 40, "mdbrief"))
+    _emit(fps, dict(extra))
+    extra.update(stage(bench_cpu_compare, 60, "cpu_compare"))
+    extra.update(stage(bench_pallas_threshold, 20, "pallas_threshold"))
     _emit(fps, dict(extra))
     if "kernel_loop_fps" not in extra:
         def _kernel_continuity():
-            kfps, khost = bench_hot_loop()
+            kfps, khost = bench_hot_loop(n_reps=2)
             return dict(kernel_loop_fps=kfps, kernel_loop_host_fps=khost)
-        extra.update(stage(_kernel_continuity, 90, "kernel_loop"))
+        extra.update(stage(_kernel_continuity, 45, "kernel_loop"))
     # same metric, now enriched — last complete line wins either way
     _emit(fps, extra)
 

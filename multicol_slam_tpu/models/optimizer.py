@@ -187,10 +187,12 @@ def _gather_cam(cams: CameraModel, idx: jax.Array) -> CameraModel:
     return jax.tree.map(lambda a: a[idx], cams)
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "free_mc"))
+@functools.partial(jax.jit, static_argnames=("iters", "free_mc",
+                                              "early_stop"))
 def bundle_adjustment(rig: Rig, mt_min0: jax.Array, X0: jax.Array,
                       problem: BAProblem, *, huber: float = HUBER_GLOBAL,
-                      iters: int = 10, free_mc: bool = False):
+                      iters: int = 10, free_mc: bool = False,
+                      early_stop: bool = True):
     """Joint LM over body poses (N, 6) and points (P, 3) with Schur
     elimination of the points (cOptimizer GlobalBundleAdjustment /
     LocalBundleAdjustment semantics; fixed_kf plays the role of the
@@ -329,9 +331,10 @@ def bundle_adjustment(rig: Rig, mt_min0: jax.Array, X0: jax.Array,
         cost_new, _ = cost_of(mt_new, X_new)
         accept = cost_new < cost
         # gain-ratio termination (SparseOptimizerTerminateAction 1e-6,
-        # cOptimizer.cpp:88-92)
+        # cOptimizer.cpp:88-92); early_stop=False pins the iteration
+        # count (bench: honest iterations/sec needs a fixed denominator)
         gain = (cost - cost_new) / jnp.maximum(cost_new, 1e-12)
-        done = accept & (gain < GAIN_EPS)
+        done = accept & (gain < GAIN_EPS) & jnp.bool_(early_stop)
         mt = jnp.where(accept, mt_new, mt)
         X = jnp.where(accept, X_new, X)
         cost = jnp.where(accept, cost_new, cost)
