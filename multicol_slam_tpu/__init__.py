@@ -53,10 +53,19 @@ def _host_fingerprint() -> str:
 
     tags = [platform.machine()]
     try:
+        seen = set()
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features", "model name")):
+                key = line.split(":", 1)[0].strip()
+                # collect model name AND the full feature flags (one
+                # copy each): same-model VMs can still expose different
+                # feature sets, and an executable AOT-compiled for the
+                # richer set can SIGILL on the poorer one
+                if key in ("flags", "Features", "model name") \
+                        and key not in seen:
+                    seen.add(key)
                     tags.append(line.strip())
+                if len(seen) == 2:
                     break
     except OSError:
         tags.append(platform.processor())
