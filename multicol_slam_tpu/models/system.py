@@ -353,6 +353,39 @@ class MultiColSLAM:
                                tr.state.name)
         return M
 
+    def track_batch(self, images, timestamps, chunk: int = 8):
+        """Track a batch of CONSECUTIVE frames, preferring the chunked
+        device-scan fast path (tracker.track_chunk: one dispatch + one
+        fetch per ``chunk`` steady-state WORKING frames) and falling
+        back to per-frame ``track()`` wherever the streaming
+        preconditions fail (initialization, relocalization, a frame
+        below the tracking-quality floors, or fewer than ``chunk``
+        frames left). The throughput mode of the production pipeline;
+        per-frame ``track()`` remains the latency-parity mode.
+
+        ``images``: (B, C, H, W) array (device-resident preferred);
+        ``timestamps``: sequence of B floats. Returns a list of B
+        entries — (4, 4) body pose or None."""
+        n = int(images.shape[0])
+        if len(timestamps) != n:
+            raise ValueError("timestamps length must match batch size")
+        out: list = []
+        i = 0
+        while i < n:
+            if n - i >= chunk:
+                r = self.tracker.track_chunk(
+                    images[i:i + chunk], list(timestamps[i:i + chunk]))
+                if r is not None:
+                    acc, poses = r
+                    out.extend(poses)
+                    i += acc
+                    if acc == chunk:
+                        continue
+                    # the frame that broke the chunk replays per-frame
+            out.append(self.track(images[i], timestamps[i]))
+            i += 1
+        return out
+
     def attach_viewer(self, out_dir: str = ".", period_s: float = 1.0):
         """Start the live viewer loop (cSystem spawns cViewer::Run,
         cSystem.cpp:96-110). Returns the running Viewer; stop it via
