@@ -398,6 +398,64 @@ def bench_hot_loop(rig=None, n_reps=4, use_mdbrief=False):
     return dev_fps, host_fps
 
 
+def bench_dynamic_scene(n_frames=36):
+    """Dynamic-scene robustness extra (the reference's benchmark
+    sequence is Lafida "indoor dynamic" — moving people): the full
+    pipeline over the bench trajectory with three moving rigid
+    distractors whose texture rides the object
+    (utils/synthetic.make_renderer distractors). Reports the tracked
+    fraction and ATE under dynamic content; jit buckets are warm after
+    bench_full_system (same settings and shapes), so the pass costs one
+    sequence, not a compile storm."""
+    import jax
+    import jax.numpy as jnp
+    from multicol_slam_tpu.models.system import MultiColSLAM
+    from multicol_slam_tpu.utils import config_io, synthetic
+    from multicol_slam_tpu.utils.trajectory import ate_rmse
+
+    settings = config_io.SlamSettings(
+        n_features=N_FEATURES, n_levels=N_LEVELS, fps=25.0)
+    slam = MultiColSLAM(CALIB, settings=settings,
+                        capacity_pts=30000, capacity_kfs=128,
+                        async_mapping=True)
+    distractors = [
+        dict(center=(1.1, 0.1, 1.0), velocity=(-0.05, 0.0, -0.03),
+             radius=0.25),
+        dict(center=(-1.2, -0.2, 0.7), velocity=(0.07, 0.01, 0.0),
+             radius=0.2),
+        dict(center=(0.2, 0.4, -1.2), velocity=(0.0, -0.02, 0.06),
+             radius=0.28),
+    ]
+    render = synthetic.make_renderer(slam.rig, distractors=distractors)
+    gt = synthetic.bench_trajectory(n_frames, radius=0.8)
+    frames = render(jnp.asarray(np.stack(gt), jnp.float32),
+                    time=jnp.arange(n_frames, dtype=jnp.float32))
+    jax.block_until_ready(frames)
+    est, used = [], []
+    for t in range(n_frames):
+        M = slam.track(frames[t], t / 25.0)
+        if M is not None:
+            est.append(M)
+            used.append(t)
+    n_culled = int((~slam.map.pt_valid[:slam.map._next_pt]).sum())
+    false_loop = (slam.loop_closer is not None
+                  and slam.loop_closer.last_loop_kf >= 0)
+    slam.shutdown()
+    if not used:
+        return dict(dynamic_working_frac=0.0)
+    ate = -1.0
+    if len(est) > 3:
+        ep = np.stack([M[:3, 3] for M in est])
+        gp = np.stack([gt[i][:3, 3] for i in used])
+        ate = float(ate_rmse(ep, gp))
+    return dict(
+        dynamic_working_frac=round(
+            len(est) / max(n_frames - used[0], 1), 3),
+        dynamic_ate_m=round(ate, 4),
+        dynamic_n_culled=n_culled,
+        dynamic_false_loop=bool(false_loop))
+
+
 def bench_eight_cam():
     """The 8-camera surround stretch config through the SAME hot loop
     (extraction + frame-to-frame match + pose LM) — the figure
@@ -1061,6 +1119,7 @@ def main():
     # the 8-cam stretch figure (BASELINE.json configs[4])
     extra.update(stage(bench_eight_cam, 40, "eight_cam"))
     _emit(fps, dict(extra))
+    extra.update(stage(bench_dynamic_scene, 35, "dynamic_scene"))
     extra.update(stage(bench_chi2_parity, 30, "chi2_parity"))
     extra.update(stage(bench_mdbrief, 40, "mdbrief"))
     _emit(fps, dict(extra))
