@@ -1039,10 +1039,43 @@ def _emit(fps, extra):
     }), flush=True)
 
 
+def _link_probe(timeout_s=150.0):
+    """Probe the accelerator link with a trivial jit in a SUBPROCESS
+    (so a hung tunnel cannot wedge the bench before it prints anything).
+    Returns the probe's wall seconds, or -1 when the link is dead or
+    degraded beyond timeout_s. Measured healthy floor: ~1-10 s incl.
+    interpreter+jax import; an unhealthy tunnel has been observed to
+    take >120 s for the SAME trivial jit."""
+    code = ("import sys, time; sys.path.insert(0, %r); t0=time.time(); "
+            "import jax, jax.numpy as jnp; "
+            "y = jax.jit(lambda a: (a*2).sum())(jnp.arange(64.0)); "
+            "print('PROBE_OK', float(y), time.time()-t0)"
+            % os.path.dirname(os.path.abspath(__file__)))
+    t0 = time.monotonic()
+    try:
+        r = subprocess.run([sys.executable, "-u", "-c", code],
+                           capture_output=True, text=True,
+                           timeout=timeout_s)
+        if "PROBE_OK" in r.stdout:
+            return round(time.monotonic() - t0, 1)
+    except subprocess.TimeoutExpired:
+        pass
+    return -1.0
+
+
 def main():
     if "--cpu-probe" in sys.argv or os.environ.get("MCSLAM_BENCH_CPU_PROBE"):
         cpu_probe()
         return
+    # a hung accelerator tunnel must never leave the artifact EMPTY:
+    # probe the link in a subprocess first and emit a provisional line
+    # (the driver keeps the LAST complete line, so any stage that
+    # completes later overwrites this one)
+    probe_s = _link_probe()
+    _emit(-1, {"status": "startup",
+               "link_probe_s": probe_s,
+               "link_status": "ok" if probe_s >= 0 else
+               "dead_or_degraded"})
     # secondary stages run only while budget remains; each failure or
     # skip degrades that metric to an empty dict, never kills the line
     extra = {}
