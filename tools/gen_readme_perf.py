@@ -69,6 +69,49 @@ def render(rec, name):
             f"{e.get('n_keyframes', '?')} KFs / {e.get('n_points', '?')} "
             f"pts, ATE={fmt(ate, 4)} m; latency-bound by the harness "
             f"tunnel (see dispatch_rtt_ms), not compute"))
+    if "chunked_system_fps_steady" in e:
+        rows.append((
+            "full system, chunked throughput mode",
+            f"**{fmt(e['chunked_system_fps_steady'])} fps steady** "
+            f"({fmt(e.get('chunked_system_fps', -1))} wall)",
+            f"track_batch chunks of 8 (one dispatch+fetch per chunk); "
+            f"working_frac={fmt(e.get('chunked_working_frac', -1), 3)}, "
+            f"ATE={fmt(e.get('chunked_ate_m', -1), 4)} m, "
+            f"p90={fmt(e.get('chunked_p90_track_ms', -1), 1)} ms"))
+    if "mapping_ms_median" in e:
+        rows.append((
+            "concurrent mapping pass",
+            f"median {fmt(e['mapping_ms_median'], 1)} ms / "
+            f"p90 {fmt(e.get('mapping_ms_p90', -1), 1)} ms",
+            "batched triangulation+fuse+local-BA per keyframe, on the "
+            "async worker (async_mapping="
+            f"{e.get('async_mapping', '?')})"))
+    if "mkeypoints_per_sec" in e:
+        rows.append((
+            "extraction rate", f"{fmt(e['mkeypoints_per_sec'], 3)} "
+            "Mkeypoints/s",
+            f"device-timed production extractor, "
+            f"{fmt(e.get('extraction_ms_per_frame', -1), 2)} ms/frame "
+            f"({fmt(e.get('extraction_kps_per_frame', -1), 0)} kps/frame)"))
+    if "ba_iters_per_sec" in e:
+        rows.append((
+            "BA iterations/sec", f"{fmt(e['ba_iters_per_sec'], 1)}",
+            f"sparse-Schur LM at local-BA scale "
+            f"({e.get('ba_rate_shape', '?')}, "
+            f"{e.get('ba_rate_n_obs', '?')} obs), fixed denominator"))
+    if "mdbrief_loop_fps" in e:
+        rows.append((
+            "mdBRIEF-enabled hot loop", f"{fmt(e['mdbrief_loop_fps'])} fps",
+            "learned-mask masked-Hamming variant (usemdBRIEF=1), "
+            "device-timed"))
+    if "dynamic_working_frac" in e:
+        rows.append((
+            "dynamic-scene robustness",
+            f"working_frac={fmt(e['dynamic_working_frac'], 3)}, "
+            f"ATE={fmt(e.get('dynamic_ate_m', -1), 4)} m",
+            f"3 moving rigid distractors; "
+            f"{e.get('dynamic_n_culled', '?')} landmarks culled, "
+            f"false_loop={e.get('dynamic_false_loop', '?')}"))
     if "dispatch_rtt_ms" in e:
         rows.append(("measured per-dispatch RTT",
                      f"{fmt(e['dispatch_rtt_ms'])} ms",
