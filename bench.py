@@ -135,7 +135,8 @@ def _make_extract_and_frames(n_frames=12, rig=None, use_mdbrief=False):
 # (a) full-system fps: the primary metric
 # ---------------------------------------------------------------------------
 
-def bench_full_system(n_frames=90, async_mapping=True, chunk=1):
+def bench_full_system(n_frames=90, async_mapping=True, chunk=1,
+                      warm=True):
     """Run the COMPLETE pipeline (keyframes, mapping, BA, loop closer)
     twice over the same synthetic sequence: pass 1 warms every jit
     bucket, pass 2 is timed end to end.
@@ -152,6 +153,14 @@ def bench_full_system(n_frames=90, async_mapping=True, chunk=1):
     fetch per chunk of steady WORKING frames); per-frame times are then
     the amortized per-chunk wall time, so system_fps_steady measures the
     pipeline's sustained throughput at +chunk frames of latency.
+
+    warm=False skips the warm pass entirely: bench_production_tracker's
+    map build already compiled the per-frame buckets (and the
+    persistent compile cache carries them across runs), so when the
+    production headline succeeded the timed pass may hit at most a few
+    cold buckets — the MEDIAN-based steady figure is robust to that,
+    and the budget saved keeps the later stages alive (VERDICT r4:
+    no starved stages).
 
     The sequence is bench_trajectory: a deliberate lateral opening for
     bootstrap parallax, then the smooth arc — mirroring the reference's
@@ -278,7 +287,7 @@ def bench_full_system(n_frames=90, async_mapping=True, chunk=1):
             mapping_ms_p90=(round(float(np.percentile(map_ms, 90)), 1)
                             if map_ms else -1))
 
-    warmed = one_pass(timed=False, upto=n_frames)
+    warmed = one_pass(timed=False, upto=n_frames) if warm else n_frames
     return one_pass(timed=True, upto=warmed)
 
 
@@ -468,7 +477,7 @@ def bench_eight_cam():
 # (b2) PRODUCTION tracker throughput: the round-4 headline
 # ---------------------------------------------------------------------------
 
-def bench_production_tracker(n_build=48, snap_at=24, n_scan=20, n_reps=4):
+def bench_production_tracker(n_build=40, snap_at=24, n_scan=20, n_reps=4):
     """Device-timed throughput of the PRODUCTION WORKING-frame path:
     a lax.scan whose body CALLS tracking.working_track_step — the exact
     fused dispatch the system issues per WORKING frame (extraction +
@@ -859,7 +868,7 @@ def bench_chi2_parity():
 # (e) the remaining BASELINE.json headline metrics
 # ---------------------------------------------------------------------------
 
-def bench_extraction_rate(n_reps=3, n_frames=8):
+def bench_extraction_rate(n_reps=2, n_frames=8):
     """BASELINE.json 'Mkeypoints/sec extraction': device-timed lax.scan
     of the PRODUCTION extractor (pyramid + FAST + bucketed top-k +
     IC_Angle + ORB descriptors, 3 cams x 754x480 x 8 levels) over the
@@ -1071,7 +1080,7 @@ def main():
     # probe the link in a subprocess first and emit a provisional line
     # (the driver keeps the LAST complete line, so any stage that
     # completes later overwrites this one)
-    probe_s = _link_probe()
+    probe_s = _link_probe(timeout_s=60.0)
     _emit(-1, {"status": "startup",
                "link_probe_s": probe_s,
                "link_status": "ok" if probe_s >= 0 else
@@ -1129,18 +1138,24 @@ def main():
         extra["kernel_loop_host_fps"] = khost
         extra["headline_method"] = "kernel_standin"
         _emit(fps, dict(extra))
-    extra.update(stage(bench_full_system, 100, "full_system"))
+    # when the production headline ran, its map build + the persistent
+    # compile cache already warmed the per-frame buckets: skip the warm
+    # pass so the remaining stages stay funded (VERDICT r4 item 3)
+    prod_ok = extra.get("headline_method") == "production_tracker_scan"
+    extra.update(stage(
+        lambda: bench_full_system(90, warm=not prod_ok),
+        100, "full_system"))
     _emit(fps, dict(extra))
 
     # the chunked throughput mode (track_batch / working_scan_chunk):
     # the sustained-rate figure at +chunk frames of latency
     def _chunked():
-        out = bench_full_system(100, chunk=8)
+        out = bench_full_system(96, chunk=8, warm=not prod_ok)
         keep = ("system_fps", "system_fps_steady", "median_track_ms",
                 "p90_track_ms", "working_frac", "working_frac_eval",
                 "ate_m", "n_keyframes", "n_points", "system_frames")
         return {f"chunked_{k}": v for k, v in out.items() if k in keep}
-    extra.update(stage(_chunked, 90, "full_system_chunked"))
+    extra.update(stage(_chunked, 80, "full_system_chunked"))
     _emit(fps, dict(extra))
     # cheap diagnostics + the two remaining BASELINE.json headline
     # metrics run BEFORE the comparison stages so the official artifact

@@ -296,8 +296,17 @@ def reloc_projection_match(feats: Features, has_point: jax.Array,
         has_point, uv_pred, pred_ok, pred_level)
 
 
-# candidate-set size beyond which the streaming Pallas kernel beats the
-# XLA dense-distance-matrix path (measured on TPU v5e, see bench)
+# candidate-set size beyond which the streaming Pallas kernel serves the
+# fuse path instead of the XLA dense-distance-matrix path. Measured at
+# the production bucket sizes (bench_pallas_threshold, BENCH_r05_dev:
+# fuse_{dense,pallas}_{512,1024,2048}_ms): end-to-end the two are within
+# remote-link noise (~24-35 ms, dominated by dispatch latency; the
+# device-only delta is sub-millisecond at these sizes). The dense path
+# stays default for production buckets because XLA fuses it with the
+# surrounding gates in ONE kernel; the Pallas kernel earns its keep at
+# map-scale candidate sets (loop closing's SearchAndFuse over a whole
+# neighbourhood) where the dense (C, P, K) distance tensor's HBM
+# traffic grows quadratically and VMEM streaming holds O(N).
 PALLAS_MIN_CANDIDATES = 2048
 
 

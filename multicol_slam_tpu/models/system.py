@@ -265,6 +265,7 @@ class MultiColSLAM:
         # the map moved under the tracker (cLoopClosing calls
         # ForceRelocalisation on the tracker, cLoopClosing.cpp:575)
         self.tracker.force_reloc = True
+        self.tracker.map_dirty = True
 
     def _process_init_kfs(self, kf0: int, kf1: int):
         self._process_kf(kf0)
@@ -308,6 +309,10 @@ class MultiColSLAM:
         t0 = time.perf_counter()
         self.mapper.process_keyframe(kf)
         self.mapping_ms.append((time.perf_counter() - t0) * 1e3)
+        # the mapping pass mutated the map (triangulation, fusion, local
+        # BA moved positions): invalidate the tracker's device-resident
+        # local-map snapshot cache
+        self.tracker.map_dirty = True
         if self._enable_loops:
             self._ensure_loop_closer(kf)
             if self.loop_closer is not None:

@@ -500,6 +500,15 @@ class Tracker:
         self.reloc_candidates_fn = None    # fn(Features) -> list[int] (BoW)
         self.reloc_bow_match_fn = None     # fn(kf, Features) -> [(pt, c, s)]
         self.force_reloc = False
+        # device-resident local-map snapshot cache: between map
+        # mutations the voted point set is usually identical frame to
+        # frame, and re-uploading its six padded arrays through a
+        # remote-accelerator link costs real per-frame latency. The
+        # System flips map_dirty after every mapping pass / loop
+        # correction / reset; an identical vote with a clean flag
+        # reuses the device arrays (see _local_map_snapshot).
+        self.map_dirty = True
+        self._snap_cache = None
         # fault injection (SURVEY 5.3): optional per-frame pose
         # perturbation applied after a successful track and BEFORE the
         # keyframe decision, so keyframes/points inherit the error like
@@ -1162,6 +1171,15 @@ class Tracker:
         if len(local_pts) == 0:
             return None
         m = self.map
+        # reuse the device copies while the map is unchanged AND the
+        # vote selected the identical point set (a concurrent worker
+        # mutation between the check and the store is re-flagged by the
+        # NEXT mapping pass, so staleness is bounded by one pass — the
+        # same bound the async snapshot semantics already carry)
+        c = self._snap_cache
+        if (c is not None and not self.map_dirty
+                and np.array_equal(c[0], local_pts)):
+            return c
         P = len(local_pts)
         cap = bucket(P, 256)
         pad = lambda a, fill=0: np.concatenate(
@@ -1172,7 +1190,10 @@ class Tracker:
                     maxd=pad(m.pt_max_dist[local_pts], 1.0),
                     desc=pad(m.pt_desc[local_pts]),
                     dmask=pad(m.pt_desc_mask[local_pts]))
-        return local_pts, cap, arrs
+        arrs = {k: jnp.asarray(v) for k, v in arrs.items()}
+        self._snap_cache = (local_pts, cap, arrs)
+        self.map_dirty = False
+        return self._snap_cache
 
     def _track_local_map(self, th: float | None = None,
                          update_counters: bool = True) -> bool:
@@ -1499,6 +1520,8 @@ class Tracker:
         self.last_feats = None
         self.last_kf_id = -1
         self.force_reloc = False
+        self.map_dirty = True
+        self._snap_cache = None
         self.cur_pt = np.full_like(self.cur_pt, -1) \
             if self.cur_pt is not None else None
         self.last_pt = None

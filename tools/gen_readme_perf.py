@@ -31,7 +31,10 @@ def load_bench(path):
 def fmt(v, nd=2):
     if v is None or v == -1 or v == -1.0:
         return "n/a"
-    return f"{v:.{nd}f}".rstrip("0").rstrip(".")
+    s = f"{v:.{nd}f}"
+    # strip only FRACTIONAL trailing zeros (plain rstrip on "1200"
+    # would render 12)
+    return s.rstrip("0").rstrip(".") if "." in s else s
 
 
 def render(rec, name):
