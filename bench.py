@@ -275,10 +275,25 @@ def bench_full_system(n_frames=90, async_mapping=True, chunk=1,
             system_frames=done,
             median_track_ms=round(med * 1e3, 2),
             p90_track_ms=round(float(np.percentile(times, 90)) * 1e3, 2),
+            # the same figures over the EVALUATION window (from the
+            # first tracked frame on — the reference's own protocol
+            # starts at frame 25, after the operator's init motion):
+            # bootstrap frames run the 4-dispatch init path and dominate
+            # the all-frames p90, exactly like they would for the
+            # reference
+            median_track_eval_ms=round(float(np.median(
+                times[used[0]:])) * 1e3, 2) if used else -1,
+            p90_track_eval_ms=round(float(np.percentile(
+                times[used[0]:], 90)) * 1e3, 2) if used else -1,
             n_keyframes=slam.map.n_keyframes(),
             n_points=slam.map.n_points(),
             ate_m=round(ate, 4),
             stage_ms=stage,
+            # which path each frame took (explains p90: the non-fused
+            # fallback costs ~4 dispatches vs the fused path's 1)
+            frame_path_counts={
+                k: slam.tracker.frame_path.count(k)
+                for k in dict.fromkeys(slam.tracker.frame_path)},
             async_mapping=async_mapping,
             # concurrent local-mapping pass cost (triangulation + fuse +
             # local BA + culling, now batched dispatches)
@@ -1152,7 +1167,8 @@ def main():
     def _chunked():
         out = bench_full_system(96, chunk=8, warm=not prod_ok)
         keep = ("system_fps", "system_fps_steady", "median_track_ms",
-                "p90_track_ms", "working_frac", "working_frac_eval",
+                "p90_track_ms", "median_track_eval_ms",
+                "p90_track_eval_ms", "working_frac", "working_frac_eval",
                 "ate_m", "n_keyframes", "n_points", "system_frames")
         return {f"chunked_{k}": v for k, v in out.items() if k in keep}
     extra.update(stage(_chunked, 80, "full_system_chunked"))

@@ -509,6 +509,10 @@ class Tracker:
         # reuses the device arrays (see _local_map_snapshot).
         self.map_dirty = True
         self._snap_cache = None
+        # per-frame path taken (fused / fused_weak / chunk / reloc /
+        # thin_carry:N / ...): cheap diagnostic surfaced by the bench to
+        # explain p90 frames (the non-fused fallback costs ~4 dispatches)
+        self.frame_path: list[str] = []
         # fault injection (SURVEY 5.3): optional per-frame pose
         # perturbation applied after a successful track and BEFORE the
         # keyframe decision, so keyframes/points inherit the error like
@@ -545,11 +549,18 @@ class Tracker:
         forced = self.force_reloc
         motion_in = None
         lm_in = None
+        why = "state"          # frame-path diagnostic (bench extras)
+        if self.state == TrackState.WORKING and not forced:
+            why = ("velocity" if self.velocity is None else
+                   "reloc_recent" if self.frame_id
+                   < self.last_reloc_frame + 2 else "")
         if (self.state == TrackState.WORKING and not forced
                 and self.velocity is not None and self.cfg.use_motion_model
                 and self.frame_id >= self.last_reloc_frame + 2):
             pts, has = self._gather_last_slot_points()
-            if has.sum() >= 20:
+            if has.sum() < 20:
+                why = f"thin_carry:{int(has.sum())}"
+            else:
                 motion_in = (pts, has)
                 # local-map snapshot voted by the LAST frame's (just
                 # resolved, by _gather_last_slot_points) associations:
@@ -577,8 +588,10 @@ class Tracker:
             self.state = TrackState.NOT_INITIALIZED
 
         if self.state == TrackState.NOT_INITIALIZED:
+            self.frame_path.append("init")
             self._first_initialization()
         elif self.state == TrackState.INITIALIZING:
+            self.frame_path.append("init")
             self._try_initialize()
         else:
             ok = False
@@ -596,6 +609,10 @@ class Tracker:
                                                       images)
                     if r is not None:
                         ok, fused_done = r, True
+                self.frame_path.append(
+                    "fused" if fused_done else
+                    "fused_weak" if tried_fused else
+                    (why or "no_snapshot"))
                 if not fused_done:
                     with self.timers.time("initial_pose_estimation"):
                         if not tried_fused and motion_in is not None:
@@ -604,6 +621,7 @@ class Tracker:
                         if not ok:
                             ok = self._track_previous_frame()
             else:
+                self.frame_path.append("reloc")
                 with self.timers.time("initial_pose_estimation"):
                     ok = self._relocalize()
                 if ok and forced == self.force_reloc:
@@ -1016,6 +1034,7 @@ class Tracker:
             self.cur_outlier = np.zeros((C, K), bool)
             self.cur_mt = mt_arr[i].astype(np.float64)
             self.dispatches_per_frame.append(1 if i == 0 else 0)
+            self.frame_path.append("chunk")
             M = se3_np.cayley2hom(self.cur_mt)
             self.all_poses.append(M)
             self.timestamps.append(timestamps[i])

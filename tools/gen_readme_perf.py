@@ -70,7 +70,12 @@ def render(rec, name):
                f"the reference's frames-25+ protocol)"
                if 'working_frac_eval' in e else "") + ", "
             f"{e.get('n_keyframes', '?')} KFs / {e.get('n_points', '?')} "
-            f"pts, ATE={fmt(ate, 4)} m; latency-bound by the harness "
+            f"pts, ATE={fmt(ate, 4)} m"
+            + (f"; eval-window median {fmt(e['median_track_eval_ms'], 1)}"
+               f" ms / p90 {fmt(e.get('p90_track_eval_ms', -1), 1)} ms "
+               "per frame (reference protocol: from first track)"
+               if 'median_track_eval_ms' in e else "")
+            + "; latency-bound by the harness "
             f"tunnel (see dispatch_rtt_ms), not compute"))
     if "chunked_system_fps_steady" in e:
         rows.append((
