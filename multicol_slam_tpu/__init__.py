@@ -77,6 +77,12 @@ if _cache:
         _cache = _os.path.join(_cache, _host_fingerprint())
         _os.makedirs(_cache, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        # MCSLAM_COMPILE_CACHE_MIN_S raises the caching threshold so
+        # only expensive compiles touch the cache (fewer entry
+        # serializations/loads — the XLA:CPU AOT load path has been
+        # observed to segfault intermittently on some hosts)
+        _jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs",
+            float(_os.environ.get("MCSLAM_COMPILE_CACHE_MIN_S", 2.0)))
     except Exception:  # cache is an optimization, never a failure
         pass
