@@ -541,18 +541,31 @@ def bench_production_tracker(n_build=40, snap_at=24, n_scan=20, n_reps=4):
     snap = None
     build_deadline = _remaining() * 0.6
     t_start = time.perf_counter()
-    for t in range(n_build):
-        slam.track(frames[t], t / 25.0)
-        if (t + 1) % 10 == 0:
-            print(f"# bench: production map build frame {t + 1}/{n_build} "
-                  f"({time.perf_counter() - t_start:.0f}s)",
-                  file=sys.stderr, flush=True)
-        if (t == snap_at and tr.state == tracking.TrackState.WORKING
+    # build through track_batch: init frames fall back per-frame inside,
+    # steady frames ride the chunk scan — through a degraded tunnel the
+    # per-frame build cost inflates ~10x while chunks amortize, and the
+    # snapshot state at a chunk boundary is exactly the rolled tracker
+    # state the per-frame loop would leave (tests/test_chunked_tracking)
+    t = 0
+    while t < n_build:
+        n = min(8, n_build - t)
+        if n == 8:
+            slam.track_batch(jnp.stack(frames[t:t + n]),
+                             [x / 25.0 for x in range(t, t + n)], chunk=8)
+        else:
+            for j in range(t, t + n):
+                slam.track(frames[j], j / 25.0)
+        t += n
+        print(f"# bench: production map build frame {t}/{n_build} "
+              f"({time.perf_counter() - t_start:.0f}s)",
+              file=sys.stderr, flush=True)
+        if (snap is None and t > snap_at
+                and tr.state == tracking.TrackState.WORKING
                 and tr.velocity is not None):
             snap = (tr.cur_pt.copy(), tr.cur_mt.copy(), tr.velocity.copy(),
                     tr.cur_feats)
-        if snap is not None and t > snap_at \
-                and time.perf_counter() - t_start > build_deadline:
+        if snap is not None and time.perf_counter() - t_start \
+                > build_deadline:
             break
     if snap is None:
         slam.shutdown()
@@ -1101,8 +1114,11 @@ def main():
                "link_status": "ok" if probe_s >= 0 else
                "dead_or_degraded"})
     # secondary stages run only while budget remains; each failure or
-    # skip degrades that metric to an empty dict, never kills the line
-    extra = {}
+    # skip degrades that metric to an empty dict, never kills the line.
+    # The probe result rides every later line too: host-timed figures
+    # swing ~4x with the tunnel's health (measured same-commit), so the
+    # artifact must carry its own health reading.
+    extra = {"link_probe_s": probe_s}
 
     def stage(fn, min_budget_s, label):
         if _remaining() < min_budget_s:
@@ -1187,8 +1203,8 @@ def main():
     extra.update(stage(bench_chi2_parity, 30, "chi2_parity"))
     extra.update(stage(bench_mdbrief, 40, "mdbrief"))
     _emit(fps, dict(extra))
-    extra.update(stage(bench_cpu_compare, 60, "cpu_compare"))
     extra.update(stage(bench_pallas_threshold, 20, "pallas_threshold"))
+    extra.update(stage(bench_cpu_compare, 60, "cpu_compare"))
     _emit(fps, dict(extra))
     if "kernel_loop_fps" not in extra:
         def _kernel_continuity():
