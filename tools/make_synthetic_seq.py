@@ -87,6 +87,11 @@ def main():
     with open(os.path.join(args.out, "images_and_timestamps.txt"), "w") as f:
         f.write("\n".join(index) + "\n")
     np.save(os.path.join(args.out, "ground_truth_poses.npy"), gt)
+    # TUM-format ground truth alongside, so a run over this dataset is
+    # scoreable with tools/evaluate_trajectory.py directly
+    from multicol_slam_tpu.utils.trajectory import save_tum
+    save_tum(os.path.join(args.out, "ground_truth_tum.txt"),
+             [t / args.fps for t in range(args.frames)], gt)
     print(f"dataset: {args.out} ({args.frames} frames x {rig.n_cams} cams, "
           f"{int(float(rig.cams.width[0]))}x{int(float(rig.cams.height[0]))})")
 
